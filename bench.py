@@ -1,0 +1,67 @@
+"""Benchmark: real-time WBFM stereo channels per chip (fused pipeline).
+
+Runs the fused channelize+demod pipeline (full-band FFT → all-stations
+spectrum gather → batched WBFM stereo demod) on the default accelerator
+and reports how many 250 kS/s WBFM stereo stations one chip sustains in
+real time (1 s of IQ processed per wall-clock second).
+
+Baseline: the reference publishes no numbers (BASELINE.md); the
+comparison point is the project north-star target of ≥100 real-time
+channels on a v5e-16, i.e. 6.25 channels/chip — ``vs_baseline`` is the
+measured value over that target.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from radiocore_tpu.parallel.pipeline import make_multi_station_step
+
+    n_stations = 16
+    station_chunk = 250_000     # 250 kS/s stations, one-second chunks
+    audio_chunk = 48_000
+    n_band = n_stations * station_chunk  # 4 MS/s band per chunk
+
+    half = n_band // 2 - station_chunk // 2
+    offsets = [int(-half + i * station_chunk) for i in range(n_stations)]
+
+    step, state = make_multi_station_step(
+        n_band, offsets, station_chunk, audio_chunk)
+
+    rng = np.random.default_rng(0)
+    band = jnp.asarray(
+        (rng.standard_normal(n_band) + 1j * rng.standard_normal(n_band)) * 0.1,
+        dtype=jnp.complex64)
+
+    # Warmup / compile.
+    audio, state = step(band, state)
+    jax.block_until_ready((audio, state))
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        audio, state = step(band, state)
+    jax.block_until_ready((audio, state))
+    dt = (time.perf_counter() - t0) / iters
+
+    # Each step processes 1 second of every station's signal.
+    realtime_channels = n_stations / dt
+    target_per_chip = 100 / 16  # north-star: 100 channels on v5e-16
+
+    print(json.dumps({
+        "metric": "wbfm_realtime_stereo_channels_per_chip",
+        "value": round(realtime_channels, 2),
+        "unit": "channels",
+        "vs_baseline": round(realtime_channels / target_per_chip, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,36 @@
+"""FFT-method resampler class.
+
+Parity with reference ``radiocore/analog/decimate.py:7-50`` (despite its
+docstring, the reference performs FFT resampling, not FIR decimation):
+``resample(x, output_size, window=fftshift(hamming(input_size)))``,
+supporting arbitrary (non-integer) ratios and complex or real inputs.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+
+from radiocore_tpu.ops import design
+from radiocore_tpu.ops.resample import resample_fft
+
+
+class Decimate:
+    def __init__(self, input_size: Union[int, float],
+                 output_size: Union[int, float], cuda: bool = False):
+        del cuda
+        self._input_size = int(input_size)
+        self._output_size = int(output_size)
+        self._win = design.resample_window("hamm", self._input_size)
+        self._run = jax.jit(
+            lambda x: resample_fft(x, self._output_size, self._win))
+
+    def run(self, input_sig):
+        if len(input_sig) != self._input_size:
+            raise ValueError("input_sig size and input_size mismatch")
+        x = jnp.asarray(input_sig)
+        if not jnp.iscomplexobj(x):
+            x = x.astype(jnp.float32)
+        return self._run(x)

@@ -1,0 +1,31 @@
+"""Analytic-signal pilot tracker ("PLL").
+
+Parity with reference ``radiocore/analog/pll.py:6-58``: not a feedback
+loop — ``step`` stores the Hilbert analytic signal of the pilot; ``real``/
+``image`` return unit-amplitude harmonics by raising it to an integer
+power (phase multiplication).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from radiocore_tpu.ops.analytic import analytic_signal, pll_harmonic
+
+
+class PLL:
+    def __init__(self, cuda: bool = False):
+        del cuda
+        self._baseline = None
+        self._analytic = jax.jit(analytic_signal)
+
+    def step(self, input_sig) -> None:
+        x = jnp.asarray(input_sig)
+        self._baseline = self._analytic(x)
+
+    def real(self, mult: float = 1.0) -> jnp.ndarray:
+        return pll_harmonic(self._baseline, int(mult), "real")
+
+    def image(self, mult: float = 1.0) -> jnp.ndarray:
+        return pll_harmonic(self._baseline, int(mult), "imag")

@@ -1,0 +1,110 @@
+"""FIR filtering primitives: causal, zero-phase, and streaming-stateful.
+
+TPU-native replacement for the reference's cuSignal/scipy ``lfilter`` and
+``filtfilt`` calls (reference: ``radiocore/analog/bandpass.py:72``,
+``radiocore/analog/deemphasis.py:64``). Convolutions are expressed as
+``lax.conv_general_dilated`` so XLA can tile the batched case onto the
+MXU; the Pallas overlap-save kernel in
+:mod:`radiocore_tpu.kernels.fir_pallas` is a drop-in for the hot path.
+
+All functions support arbitrary leading batch dimensions and operate on
+the last axis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _as_taps(taps, dtype) -> jnp.ndarray:
+    t = jnp.asarray(np.asarray(taps)) if isinstance(taps, np.ndarray) else jnp.asarray(taps)
+    return t.astype(dtype)
+
+
+def _corr_valid(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Valid-mode cross-correlation along the last axis.
+
+    ``out[..., n] = Σ_k x[..., n+k] · kernel[k]`` — the native orientation
+    of the XLA conv op (no kernel flip).
+    """
+    if jnp.iscomplexobj(x):
+        # XLA conv is real-valued: filter I and Q independently (taps real).
+        kr = jnp.real(kernel).astype(jnp.real(x).dtype)
+        return (_corr_valid(jnp.real(x), kr)
+                + 1j * _corr_valid(jnp.imag(x), kr)).astype(x.dtype)
+    lead = x.shape[:-1]
+    xb = x.reshape((-1, 1, x.shape[-1]))
+    k = kernel.reshape((1, 1, -1)).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        xb, k, window_strides=(1,), padding="VALID")
+    return y.reshape(lead + (y.shape[-1],))
+
+
+def fir_causal(x: jnp.ndarray, taps,
+               history: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Causal FIR: ``y[n] = Σ_k b[k]·x[n-k]`` with explicit input history.
+
+    ``history`` supplies the ``num_taps-1`` samples "before" ``x`` (the
+    streaming state); defaults to zeros — identical to
+    ``scipy.signal.lfilter(b, 1, x)`` with zero initial conditions.
+    """
+    taps = _as_taps(taps, x.dtype)
+    t = taps.shape[0]
+    if history is None:
+        history = jnp.zeros(x.shape[:-1] + (t - 1,), dtype=x.dtype)
+    xp = jnp.concatenate([history.astype(x.dtype), x], axis=-1)
+    return _corr_valid(xp, taps[::-1])
+
+
+def fir_stream(x: jnp.ndarray, taps,
+               history: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Streaming causal FIR: returns ``(y, new_history)``.
+
+    Equivalent to ``scipy.signal.lfilter(b, 1, x, zi=state)`` where the
+    carried state is the raw trailing input samples — the mechanism behind
+    the reference's stateful de-emphasis across 1-second chunks
+    (reference: ``radiocore/analog/deemphasis.py:64``).
+    """
+    taps = _as_taps(taps, x.dtype)
+    t = taps.shape[0]
+    xp = jnp.concatenate([history.astype(x.dtype), x], axis=-1)
+    y = _corr_valid(xp, taps[::-1])
+    new_history = xp[..., -(t - 1):]
+    return y, new_history
+
+
+def zero_phase_fir(x: jnp.ndarray, taps,
+                   padlen: Optional[int] = None) -> jnp.ndarray:
+    """Zero-phase FIR (forward-backward), matching ``scipy.signal.filtfilt``.
+
+    Replicates scipy's default edge handling — odd extension of
+    ``3·num_taps`` samples and steady-state initial conditions seeded from
+    the first extended sample (for an FIR, that state is exactly a
+    constant input history) — so it is numerically interchangeable with
+    the reference's pilot-tone bandpass
+    (reference: ``radiocore/analog/bandpass.py:72``).
+    """
+    taps = _as_taps(taps, x.dtype)
+    t = taps.shape[0]
+    n = x.shape[-1]
+    if padlen is None:
+        padlen = 3 * t
+    if padlen >= n:
+        raise ValueError(f"padlen ({padlen}) must be less than signal length ({n})")
+
+    left = 2.0 * x[..., :1] - x[..., 1:padlen + 1][..., ::-1]
+    right = 2.0 * x[..., -1:] - x[..., -padlen - 1:-1][..., ::-1]
+    ext = jnp.concatenate([left, x, right], axis=-1)
+
+    edge0 = jnp.repeat(ext[..., :1], t - 1, axis=-1)
+    fwd = fir_causal(ext, taps, history=edge0)
+
+    rev = fwd[..., ::-1]
+    edge1 = jnp.repeat(rev[..., :1], t - 1, axis=-1)
+    bwd = fir_causal(rev, taps, history=edge1)[..., ::-1]
+
+    return bwd[..., padlen:padlen + n]

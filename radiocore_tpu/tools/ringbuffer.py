@@ -1,0 +1,124 @@
+"""Thread-safe circular sample buffer for host-side IQ ingest.
+
+Behavioral parity with reference ``radiocore/tools/ringbuffer.py:10-160``:
+
+* non-blocking ``put`` with overflow policy = optional print + whole-buffer
+  reset (reference: ringbuffer.py:109-116),
+* blocking ``get`` with an Event + timeout that returns ``None`` on
+  timeout and ``True`` on success (reference: ringbuffer.py:145-149),
+* two-segment wraparound copies, ``occupancy``/``vacancy``/``capacity``,
+  ``reset``.
+
+TPU-native role: this is the host staging ring between the SDR reader
+thread and the jitted device pipeline (SURVEY.md §2.1). A C++ backend
+(:mod:`radiocore_tpu.native`) provides the same semantics with lock-free
+copies for high-rate ingest; this pure-Python version is the portable
+fallback and the behavioral reference.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional, Union
+
+import numpy as np
+
+
+class RingBuffer:
+    def __init__(self, capacity: Union[int, float], dtype: str = "complex64",
+                 print_overflow: bool = True, allow_overflow: bool = True,
+                 cuda: bool = False):
+        del cuda  # parity-only: host ring is always host memory here
+        self._capacity = int(capacity)
+        self._dtype = np.dtype(dtype)
+        self._print_overflow = bool(print_overflow)
+        self._allow_overflow = bool(allow_overflow)
+        self._ring = np.zeros(self._capacity, dtype=self._dtype)
+        self._head = 0  # write position
+        self._tail = 0  # read position
+        self._occupancy = 0
+        self._lock = threading.Lock()
+        self._data_ready = threading.Event()
+
+    @property
+    def capacity(self) -> int:
+        return self._capacity
+
+    @property
+    def occupancy(self) -> int:
+        with self._lock:
+            return self._occupancy
+
+    @property
+    def vacancy(self) -> int:
+        return self.capacity - self.occupancy
+
+    @property
+    def data(self) -> np.ndarray:
+        """Raw backing array (use with care)."""
+        return self._ring
+
+    def reset(self) -> None:
+        with self._lock:
+            self._head = self._tail = 0
+            self._occupancy = 0
+
+    def __str__(self) -> str:
+        return str(self._ring)
+
+    def put(self, buffer) -> None:
+        """Copy all of ``buffer`` into the ring (non-blocking).
+
+        On overflow: raises when ``allow_overflow=False``; otherwise
+        optionally prints "overflow" and hard-resets the whole ring before
+        writing (reference: ringbuffer.py:109-116).
+        """
+        size = len(buffer)
+        if size > self._capacity:
+            raise ValueError("Input buffer is bigger than ring capacity.")
+
+        with self._lock:
+            if size > self._capacity - self._occupancy:
+                if not self._allow_overflow:
+                    raise ValueError("Overflow happened.")
+                if self._print_overflow:
+                    print("overflow")
+                self._head = self._tail = 0
+                self._occupancy = 0
+
+            first = min(size, self._capacity - self._head)
+            self._ring[self._head:self._head + first] = buffer[:first]
+            if first < size:
+                self._ring[:size - first] = buffer[first:]
+            self._head = (self._head + size) % self._capacity
+            self._occupancy += size
+
+        self._data_ready.set()
+
+    def get(self, buffer, timeout: float = 3.0) -> Optional[bool]:
+        """Fill ``buffer`` from the ring, blocking until enough samples.
+
+        Returns ``True`` on success, ``None`` if the timeout elapses while
+        waiting (the caller's loop just retries — reference:
+        ringbuffer.py:145-149, examples/receive_fm.py:97-98).
+        """
+        size = len(buffer)
+        if size > self._capacity:
+            raise ValueError("Input buffer is bigger than ring capacity.")
+
+        while True:
+            with self._lock:
+                if size <= self._occupancy:
+                    break
+            if not self._data_ready.wait(timeout):
+                return None
+            self._data_ready.clear()
+
+        with self._lock:
+            first = min(size, self._capacity - self._tail)
+            buffer[:first] = self._ring[self._tail:self._tail + first]
+            if first < size:
+                buffer[first:] = self._ring[:size - first]
+            self._tail = (self._tail + size) % self._capacity
+            self._occupancy -= size
+        return True

@@ -1,0 +1,79 @@
+"""End-to-end golden tests: FM/MFM/WBFM vs the float64 scipy oracle.
+
+Acceptance metric from BASELINE.md: audio within 1 dB SNR of the CPU
+reference path; these assert far tighter (> 40 dB match SNR) on synthetic
+multiplex signals.
+"""
+
+import numpy as np
+
+import oracles
+from radiocore_tpu import FM, MFM, WBFM
+
+FS = 100_000     # one-second convention: input_size == sample rate
+AUDIO = 20_000
+
+
+def _wbfm_iq(seconds: int = 1):
+    mpx = oracles.make_stereo_multiplex(FS * seconds, FS, 440.0, 1000.0)
+    return oracles.make_fm_iq(mpx, deviation_gain=0.25).astype(np.complex64)
+
+
+def test_fm_matches_oracle():
+    msg = 0.5 * np.sin(2 * np.pi * 440 * np.arange(FS) / FS)
+    iq = oracles.make_fm_iq(msg).astype(np.complex64)
+    want = oracles.decimate(oracles.fm_demod(iq.astype(np.complex128)), AUDIO)
+
+    fm = FM(FS, AUDIO)
+    got = fm.run(iq)
+    assert got.shape == (AUDIO, 1)
+    assert oracles.snr_db(want, got[:, 0]) > 40
+
+
+def test_mfm_matches_oracle():
+    iq = _wbfm_iq()
+    want, _ = oracles.mfm(iq.astype(np.complex128), FS, AUDIO)
+
+    mfm = MFM(FS, AUDIO)
+    got = mfm.run(iq)
+    assert got.shape == (AUDIO, 1)
+    assert oracles.snr_db(want, got[:, 0]) > 40
+
+
+def test_wbfm_matches_oracle_streaming():
+    """Two consecutive chunks: state carries across exactly like the oracle."""
+    iq = _wbfm_iq(seconds=2)
+    chunks = iq.reshape(2, FS)
+
+    wbfm = WBFM(FS, AUDIO)
+    state = None
+    for i in range(2):
+        want, state = oracles.wbfm(chunks[i].astype(np.complex128),
+                                   FS, AUDIO, state=state)
+        got = wbfm.run(chunks[i])
+        assert got.shape == (AUDIO, 2)
+        for ch in range(2):
+            assert oracles.snr_db(want[:, ch], got[:, ch]) > 40, f"chunk {i} ch {ch}"
+
+
+def test_wbfm_stereo_separation():
+    """Left tone lands in L, right tone in R, with audible separation."""
+    iq = _wbfm_iq()
+    audio = WBFM(FS, AUDIO).run(iq)
+    # Skip filter edges.
+    l, r = audio[1000:-1000, 0], audio[1000:-1000, 1]
+    assert oracles.tone_snr_db(l, AUDIO, 440.0) > 10
+    assert oracles.tone_snr_db(r, AUDIO, 1000.0) > 10
+    # Cross-talk: the other channel's tone should be much weaker.
+    l_at_r = oracles.tone_snr_db(l, AUDIO, 1000.0)
+    r_at_l = oracles.tone_snr_db(r, AUDIO, 440.0)
+    assert oracles.tone_snr_db(l, AUDIO, 440.0) - l_at_r > 10
+    assert oracles.tone_snr_db(r, AUDIO, 1000.0) - r_at_l > 10
+
+
+def test_channels_properties():
+    assert FM(1000, 1000).channels == 1
+    assert MFM(1000, 1000).channels == 1
+    # WBFM needs Nyquist above the 19 kHz pilot (like the reference,
+    # whose firwin design would reject smaller rates).
+    assert WBFM(48000, 8000).channels == 2

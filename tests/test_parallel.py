@@ -1,0 +1,130 @@
+"""Sharding tests on the 8-device virtual CPU mesh (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from scipy import signal as sig
+
+from radiocore_tpu.parallel.mesh import make_radio_mesh, STATIONS, TIME
+from radiocore_tpu.parallel.halo import (fir_causal_sharded,
+                                         zero_phase_fir_sharded)
+from radiocore_tpu.parallel.pipeline import make_multi_station_step
+from radiocore_tpu.ops.fir import fir_causal, zero_phase_fir
+from radiocore_tpu.models.wbfm import make_wbfm_step, wbfm_init_state
+
+import oracles
+
+RNG = np.random.default_rng(11)
+
+
+def test_mesh_construction():
+    mesh = make_radio_mesh(time=2)
+    assert mesh.shape == {STATIONS: 4, TIME: 2}
+    mesh = make_radio_mesh()
+    assert mesh.shape == {STATIONS: 8, TIME: 1}
+    with pytest.raises(ValueError):
+        make_radio_mesh(stations=3, time=2)
+
+
+def test_fir_causal_sharded_matches_unsharded():
+    mesh = make_radio_mesh(stations=1, time=8)
+    x = RNG.standard_normal(8 * 256).astype(np.float32)
+    taps = sig.firwin(33, 0.25)
+    want = np.asarray(fir_causal(jnp.asarray(x), taps))
+    got = np.asarray(fir_causal_sharded(jnp.asarray(x), taps, mesh))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_zero_phase_sharded_interior_matches():
+    """Interior samples are the exact forward-backward filter; only the
+    global-edge transient (3·taps each side) may differ from scipy."""
+    mesh = make_radio_mesh(stations=1, time=8)
+    taps = sig.firwin(41, 0.2)
+    x = RNG.standard_normal(8 * 512).astype(np.float32)
+    want = sig.filtfilt(taps, [1.0], x.astype(np.float64))
+    got = np.asarray(zero_phase_fir_sharded(jnp.asarray(x), taps, mesh))
+    edge = 3 * 41
+    np.testing.assert_allclose(got[edge:-edge], want[edge:-edge], atol=1e-4)
+
+
+def test_station_sharded_wbfm_matches_single_device():
+    """vmap'd WBFM sharded over stations == per-station loop, bitwise-close."""
+    fs, audio, n_st = 50_000, 10_000, 8
+    # No pilot content matters here; this checks sharding equivalence.
+    iq = (RNG.standard_normal((n_st, fs)) +
+          1j * RNG.standard_normal((n_st, fs))).astype(np.complex64) * 0.1
+
+    step = make_wbfm_step(fs, audio)
+    state1 = wbfm_init_state(audio, batch_shape=(n_st,))
+    want, _ = jax.jit(jax.vmap(step))(iq, state1)
+
+    mesh = make_radio_mesh(stations=8, time=1)
+    st = NamedSharding(mesh, P(STATIONS))
+    sharded = jax.jit(
+        jax.vmap(step),
+        in_shardings=(st, {"deemph_l": st, "deemph_r": st}))
+    got, _ = sharded(iq, state1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_multi_station_pipeline_end_to_end():
+    """Full fused pipeline: band with 4 FM stations → 4 stereo audios."""
+    n_band = 200_000
+    station_chunk = 50_000
+    audio_chunk = 10_000
+    offsets = [-75_000, -25_000, 25_000, 75_000]
+
+    # Build a band: each station is an FM-modulated stereo multiplex
+    # shifted to its offset.
+    t = np.arange(n_band) / n_band
+    band = np.zeros(n_band, np.complex128)
+    tones = [(300.0, 700.0), (400.0, 900.0), (500.0, 1100.0), (600.0, 1300.0)]
+    for off, (fl, fr) in zip(offsets, tones):
+        mpx = oracles.make_stereo_multiplex(station_chunk, station_chunk,
+                                            fl, fr)
+        iq = oracles.make_fm_iq(mpx, 0.6)
+        up = np.zeros(n_band, np.complex128)
+        # Upconvert via spectrum placement: station occupies its slice.
+        X = np.fft.fft(iq)
+        up_spec = np.zeros(n_band, np.complex128)
+        m2 = station_chunk // 2
+        up_spec[:m2] = X[:m2]
+        up_spec[-m2:] = X[-m2:]
+        up = np.fft.ifft(up_spec) * (n_band / station_chunk)
+        band += up * np.exp(2j * np.pi * off * np.arange(n_band) / n_band)
+
+    step, state = make_multi_station_step(
+        n_band, offsets, station_chunk, audio_chunk)
+    audio, state = step(jnp.asarray(band, dtype=jnp.complex64), state)
+    audio = np.asarray(audio)
+    assert audio.shape == (4, audio_chunk, 2)
+
+    for i, (fl, fr) in enumerate(tones):
+        l = audio[i, 500:-500, 0]
+        r = audio[i, 500:-500, 1]
+        assert oracles.tone_snr_db(l, audio_chunk, fl) > 6, f"station {i} L"
+        assert oracles.tone_snr_db(r, audio_chunk, fr) > 6, f"station {i} R"
+
+
+def test_multi_station_pipeline_sharded_matches():
+    """Sharded fused pipeline == unsharded, on the 8-device mesh."""
+    n_band = 400_000
+    station_chunk = 50_000
+    audio_chunk = 10_000
+    offsets = [-175_000, -125_000, -75_000, -25_000,
+               25_000, 75_000, 125_000, 175_000]
+
+    band = (RNG.standard_normal(n_band) +
+            1j * RNG.standard_normal(n_band)).astype(np.complex64) * 0.05
+
+    step, state = make_multi_station_step(
+        n_band, offsets, station_chunk, audio_chunk)
+    want, _ = step(band, state)
+
+    mesh = make_radio_mesh(stations=8, time=1)
+    step_sh, state_sh = make_multi_station_step(
+        n_band, offsets, station_chunk, audio_chunk, mesh=mesh)
+    got, _ = step_sh(band, state_sh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
