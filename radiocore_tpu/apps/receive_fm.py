@@ -1,0 +1,122 @@
+"""Single-station FM receiver (reference: ``examples/receive_fm.py``).
+
+Same three-stage shape as the reference — source thread → RingBuffer →
+DSP thread → audio sink — with the hardware edges made pluggable:
+source is synthetic / IQ file / SoapySDR (when installed), sink is a WAV
+file / sounddevice (when installed). DSP per 1-second chunk:
+``Decimate(input_rate → demod_rate)`` then ``WBFM(demod_rate →
+audio_rate)`` (reference: receive_fm.py:76-103).
+
+Run headless:
+    python -m radiocore_tpu.apps.receive_fm --seconds 3 --out fm.wav
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import threading
+import time
+
+import numpy as np
+
+from radiocore_tpu.models.decimate import Decimate
+from radiocore_tpu.models.wbfm import WBFM
+from radiocore_tpu.models.mfm import MFM
+from radiocore_tpu.runtime.metrics import Metrics
+from radiocore_tpu.tools.ringbuffer import RingBuffer
+from radiocore_tpu.apps.iq import SyntheticFmSource, IQFileSource, WavSink
+
+
+@dataclasses.dataclass
+class Config:
+    input_rate: float = 2.4e6     # config 1/2 of BASELINE.md
+    demod_rate: float = 240e3
+    audio_rate: float = 48e3
+    frequency: float = 96.9e6
+    deemphasis: float = 75e-6
+    stereo: bool = True
+
+
+def run(config: Config, source, sink, seconds: float,
+        metrics: Metrics | None = None) -> None:
+    """Pump ``seconds`` of IQ through the pipeline into ``sink``."""
+    metrics = metrics or Metrics()
+    in_chunk = int(config.input_rate)
+    ring = RingBuffer(in_chunk * 3, dtype="complex64", print_overflow=False)
+
+    decimate = Decimate(config.input_rate, config.demod_rate)
+    demod_cls = WBFM if config.stereo else MFM
+    demod = demod_cls(config.demod_rate, config.audio_rate,
+                      deemphasis=config.deemphasis)
+
+    n_chunks = int(round(seconds))
+    stop = threading.Event()
+
+    def producer():
+        for _ in range(n_chunks):
+            if stop.is_set():
+                return
+            ring.put(source.read_chunk(1.0))
+            metrics.incr("chunks_in")
+
+    prod = threading.Thread(target=producer, daemon=True)
+    prod.start()
+
+    staging = np.empty(in_chunk, np.complex64)
+    t_start = time.monotonic()
+    done = 0
+    try:
+        while done < n_chunks:
+            if ring.get(staging, timeout=3.0) is None:
+                if not prod.is_alive():
+                    break
+                continue
+            station = decimate.run(staging)
+            audio = demod.run(station)
+            sink.write(audio)
+            done += 1
+            metrics.incr("chunks_out")
+            metrics.gauge("ring_occupancy_pct",
+                          100.0 * ring.occupancy / ring.capacity)
+            metrics.gauge("realtime_factor",
+                          done / max(time.monotonic() - t_start, 1e-9))
+    finally:
+        stop.set()
+        prod.join(timeout=1.0)
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("frequency", nargs="?", type=float, default=96.9e6,
+                        help="station frequency (Hz), parity with the "
+                             "reference's positional argv")
+    parser.add_argument("--iq-file", help="CF32 IQ file to play back")
+    parser.add_argument("--input-rate", type=float, default=2.4e6)
+    parser.add_argument("--demod-rate", type=float, default=240e3)
+    parser.add_argument("--audio-rate", type=float, default=48e3)
+    parser.add_argument("--seconds", type=float, default=3.0)
+    parser.add_argument("--mono", action="store_true")
+    parser.add_argument("--out", default="receive_fm.wav")
+    args = parser.parse_args(argv)
+
+    config = Config(input_rate=args.input_rate, demod_rate=args.demod_rate,
+                    audio_rate=args.audio_rate, frequency=args.frequency,
+                    stereo=not args.mono)
+
+    if args.iq_file:
+        source = IQFileSource(args.iq_file, int(config.input_rate))
+    else:
+        source = SyntheticFmSource(int(config.input_rate), [0],
+                                   int(config.demod_rate))
+
+    metrics = Metrics()
+    with WavSink(args.out, int(config.audio_rate)) as sink:
+        run(config, source, sink, args.seconds, metrics)
+    snap = metrics.snapshot()
+    print(f"wrote {args.out}: {int(snap.get('chunks_out', 0))} s audio, "
+          f"realtime x{snap.get('realtime_factor', 0):.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,10 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+Builds ``ringbuffer.cpp`` on demand with the system C++ compiler into a
+per-user cache directory; all consumers degrade gracefully to the pure
+Python implementations when no toolchain is available.
+"""
+
+from radiocore_tpu.native.build import load_native_ring, native_available
+
+__all__ = ["load_native_ring", "native_available"]

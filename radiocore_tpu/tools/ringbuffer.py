@@ -27,25 +27,43 @@ import numpy as np
 class RingBuffer:
     def __init__(self, capacity: Union[int, float], dtype: str = "complex64",
                  print_overflow: bool = True, allow_overflow: bool = True,
-                 cuda: bool = False):
+                 backend: str = "auto", cuda: bool = False):
         del cuda  # parity-only: host ring is always host memory here
         self._capacity = int(capacity)
         self._dtype = np.dtype(dtype)
         self._print_overflow = bool(print_overflow)
         self._allow_overflow = bool(allow_overflow)
-        self._ring = np.zeros(self._capacity, dtype=self._dtype)
         self._head = 0  # write position
         self._tail = 0  # read position
         self._occupancy = 0
         self._lock = threading.Lock()
         self._data_ready = threading.Event()
 
+        self._native = None
+        if backend in ("auto", "native"):
+            try:
+                from radiocore_tpu.native import load_native_ring
+                self._native = load_native_ring(
+                    self._capacity * self._dtype.itemsize)
+            except Exception:
+                if backend == "native":
+                    raise
+        self._ring = (np.zeros(0, dtype=self._dtype) if self._native
+                      else np.zeros(self._capacity, dtype=self._dtype))
+
     @property
     def capacity(self) -> int:
         return self._capacity
 
     @property
+    def backend(self) -> str:
+        """'native' (C++ lock-free SPSC copies) or 'python'."""
+        return "native" if self._native is not None else "python"
+
+    @property
     def occupancy(self) -> int:
+        if self._native is not None:
+            return self._native.occupancy_bytes // self._dtype.itemsize
         with self._lock:
             return self._occupancy
 
@@ -59,6 +77,9 @@ class RingBuffer:
         return self._ring
 
     def reset(self) -> None:
+        if self._native is not None:
+            self._native.reset()
+            return
         with self._lock:
             self._head = self._tail = 0
             self._occupancy = 0
@@ -76,6 +97,18 @@ class RingBuffer:
         size = len(buffer)
         if size > self._capacity:
             raise ValueError("Input buffer is bigger than ring capacity.")
+
+        if self._native is not None:
+            src = np.ascontiguousarray(buffer, dtype=self._dtype)
+            if self._native.put_bytes(src) != 1:
+                if not self._allow_overflow:
+                    raise ValueError("Overflow happened.")
+                if self._print_overflow:
+                    print("overflow")
+                self._native.reset()
+                self._native.put_bytes(src)
+            self._data_ready.set()
+            return
 
         with self._lock:
             if size > self._capacity - self._occupancy:
@@ -105,6 +138,19 @@ class RingBuffer:
         size = len(buffer)
         if size > self._capacity:
             raise ValueError("Input buffer is bigger than ring capacity.")
+
+        if self._native is not None:
+            out = buffer if (isinstance(buffer, np.ndarray)
+                             and buffer.dtype == self._dtype
+                             and buffer.flags["C_CONTIGUOUS"]) else None
+            tmp = out if out is not None else np.empty(size, self._dtype)
+            while self._native.get_bytes(tmp) != 1:
+                if not self._data_ready.wait(timeout):
+                    return None
+                self._data_ready.clear()
+            if out is None:
+                buffer[:size] = tmp
+            return True
 
         while True:
             with self._lock:
