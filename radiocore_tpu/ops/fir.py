@@ -45,13 +45,25 @@ def _corr_valid(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
 
 
 def fir_causal(x: jnp.ndarray, taps,
-               history: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+               history: Optional[jnp.ndarray] = None,
+               impl: str = "auto") -> jnp.ndarray:
     """Causal FIR: ``y[n] = Σ_k b[k]·x[n-k]`` with explicit input history.
 
     ``history`` supplies the ``num_taps-1`` samples "before" ``x`` (the
     streaming state); defaults to zeros — identical to
     ``scipy.signal.lfilter(b, 1, x)`` with zero initial conditions.
+
+    ``impl``: 'conv' (XLA conv), 'pallas' (MXU banded-matmul kernel,
+    :mod:`radiocore_tpu.kernels.fir_pallas`), or 'auto' — pallas on TPU
+    for long float32 signals, conv otherwise.
     """
+    if impl == "auto":
+        from radiocore_tpu.runtime.platform import has_tpu
+        impl = ("pallas" if (has_tpu() and not jnp.iscomplexobj(x)
+                             and x.shape[-1] >= 16384) else "conv")
+    if impl == "pallas":
+        from radiocore_tpu.kernels.fir_pallas import fir_causal_pallas
+        return fir_causal_pallas(x, taps, history=history)
     taps = _as_taps(taps, x.dtype)
     t = taps.shape[0]
     if history is None:
