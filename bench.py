@@ -35,10 +35,16 @@ def main() -> None:
     step, state = make_multi_station_step(
         n_band, offsets, station_chunk, audio_chunk)
 
-    rng = np.random.default_rng(0)
-    band = jnp.asarray(
-        (rng.standard_normal(n_band) + 1j * rng.standard_normal(n_band)) * 0.1,
-        dtype=jnp.complex64)
+    # Synthesize the band ON DEVICE (jax.random): avoids host→device IQ
+    # transfer entirely, which some TPU relay stacks reject for large
+    # buffers (see runtime/transfer.py).
+    @jax.jit
+    def make_band(key):
+        planes = 0.1 * jax.random.normal(key, (2, n_band), jnp.float32)
+        return jax.lax.complex(planes[0], planes[1])
+
+    band = make_band(jax.random.key(0))
+    jax.block_until_ready(band)
 
     # Warmup / compile.
     audio, state = step(band, state)

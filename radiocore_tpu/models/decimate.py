@@ -10,11 +10,13 @@ from __future__ import annotations
 
 from typing import Union
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from radiocore_tpu.ops import design
 from radiocore_tpu.ops.resample import resample_fft
+from radiocore_tpu.runtime.transfer import to_device_c64
 
 
 class Decimate:
@@ -30,7 +32,10 @@ class Decimate:
     def run(self, input_sig):
         if len(input_sig) != self._input_size:
             raise ValueError("input_sig size and input_size mismatch")
-        x = jnp.asarray(input_sig)
-        if not jnp.iscomplexobj(x):
-            x = x.astype(jnp.float32)
+        if (np.iscomplexobj(input_sig)
+                or (isinstance(input_sig, jax.Array)
+                    and jnp.iscomplexobj(input_sig))):
+            x = to_device_c64(input_sig)
+        else:
+            x = jnp.asarray(input_sig).astype(jnp.float32)
         return self._run(x)

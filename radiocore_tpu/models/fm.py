@@ -15,6 +15,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from radiocore_tpu.runtime.transfer import to_device_c64
+
 from radiocore_tpu.ops import design
 from radiocore_tpu.ops.resample import resample_fft
 from radiocore_tpu.ops.demod import quadrature_demod
@@ -55,6 +57,6 @@ class FM:
     def run(self, input_sig, numpy_output: bool = True):
         if len(input_sig) != self._input_size:
             raise ValueError("input_sig size and input_size mismatch")
-        iq = jnp.asarray(input_sig, dtype=jnp.complex64)
+        iq = to_device_c64(input_sig)
         audio = self._step(iq)[:, None]
         return np.asarray(audio) if numpy_output else audio

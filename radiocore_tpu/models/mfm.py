@@ -12,6 +12,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from radiocore_tpu.runtime.transfer import to_device_c64
+
 from radiocore_tpu.models.fm import make_fm_step
 from radiocore_tpu.ops.deemphasis import deemphasis_init, deemphasis_apply
 
@@ -61,7 +63,7 @@ class MFM:
     def run(self, input_sig, numpy_output: bool = True):
         if len(input_sig) != self._input_size:
             raise ValueError("input_sig size and input_size mismatch")
-        iq = jnp.asarray(input_sig, dtype=jnp.complex64)
+        iq = to_device_c64(input_sig)
         audio, self._state = self._step(iq, self._state)
         audio = audio[:, None]
         return np.asarray(audio) if numpy_output else audio

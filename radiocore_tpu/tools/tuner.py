@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from radiocore_tpu.ops import design
 from radiocore_tpu.ops import fft as _fft
 from radiocore_tpu.ops.resample import resample_spectrum
+from radiocore_tpu.runtime.transfer import to_device_c64
 
 
 @dataclasses.dataclass
@@ -159,7 +160,7 @@ class Tuner:
 
     def load(self, input_signal) -> None:
         """FFT the full-band 1-second chunk (reference: tuner.py:126-138)."""
-        sig = jnp.asarray(input_signal, dtype=jnp.complex64)
+        sig = to_device_c64(input_signal)
         self._spectrum = jax.jit(_fft.fft)(sig)
 
     def run(self, channel_index: int) -> jnp.ndarray:
