@@ -60,7 +60,8 @@ def fir_causal(x: jnp.ndarray, taps,
     if impl == "auto":
         from radiocore_tpu.runtime.platform import has_tpu
         impl = ("pallas" if (has_tpu() and not jnp.iscomplexobj(x)
-                             and x.shape[-1] >= 16384) else "conv")
+                             and x.shape[-1] >= 16384
+                             and isinstance(taps, np.ndarray)) else "conv")
     if impl == "pallas":
         from radiocore_tpu.kernels.fir_pallas import fir_causal_pallas
         return fir_causal_pallas(x, taps, history=history)
@@ -100,9 +101,8 @@ def zero_phase_fir(x: jnp.ndarray, taps,
     the reference's pilot-tone bandpass
     (reference: ``radiocore/analog/bandpass.py:72``).
     """
-    taps = _as_taps(taps, x.dtype)
-    t = taps.shape[0]
-    n = x.shape[-1]
+    t = int(np.shape(taps)[0])  # keep taps unconverted: the pallas impl
+    n = x.shape[-1]             # bakes host-numpy taps into band matrices
     if padlen is None:
         padlen = 3 * t
     if padlen >= n:
