@@ -1,0 +1,92 @@
+"""Scaling-efficiency harness: IQ Msamples/s/chip across mesh sizes.
+
+BASELINE.md target: ≥80% multi-host scaling efficiency measured at
+1 chip → 1 host → N hosts on a many-station multi-FM workload. This
+harness runs the fused channelize+demod pipeline on growing station-axis
+meshes and reports samples/s/chip relative to the 1-chip number.
+
+On a single-chip or CPU environment, exercise it with virtual devices:
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python benchmarks/scaling.py --stations-per-chip 2
+Multi-host: run one process per host with jax.distributed initialized
+(radiocore_tpu.runtime.platform.initialize_multihost).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def measure(mesh, n_stations: int, station_chunk: int, audio_chunk: int,
+            iters: int) -> float:
+    """Seconds per fused step on ``mesh`` for ``n_stations`` stations."""
+    import jax
+    import jax.numpy as jnp
+    from radiocore_tpu.parallel.pipeline import make_multi_station_step
+
+    n_band = n_stations * station_chunk
+    half = n_band // 2 - station_chunk // 2
+    offsets = [int(-half + i * station_chunk) for i in range(n_stations)]
+    step, state = make_multi_station_step(
+        n_band, offsets, station_chunk, audio_chunk, mesh=mesh)
+
+    @jax.jit
+    def make_band(key):
+        planes = 0.1 * jax.random.normal(key, (2, n_band), jnp.float32)
+        return jax.lax.complex(planes[0], planes[1])
+
+    band = make_band(jax.random.key(0))
+    audio, state = step(band, state)          # compile
+    jax.block_until_ready((audio, state))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        audio, state = step(band, state)
+    jax.block_until_ready((audio, state))
+    return (time.perf_counter() - t0) / iters
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--stations-per-chip", type=int, default=4)
+    parser.add_argument("--station-rate", type=float, default=250e3)
+    parser.add_argument("--audio-rate", type=float, default=48e3)
+    parser.add_argument("--iters", type=int, default=5)
+    args = parser.parse_args(argv)
+
+    import jax
+    from radiocore_tpu.parallel.mesh import make_radio_mesh
+
+    n_dev = len(jax.devices())
+    sizes = sorted({1, 2, n_dev} & set(
+        d for d in range(1, n_dev + 1) if n_dev % d == 0 or d <= n_dev))
+    sizes = [s for s in (1, 2, 4, n_dev) if s <= n_dev]
+
+    station_chunk = int(args.station_rate)
+    audio_chunk = int(args.audio_rate)
+    rows = []
+    base_rate = None
+    for n_chips in dict.fromkeys(sizes):
+        mesh = make_radio_mesh(stations=n_chips, time=1,
+                               devices=jax.devices()[:n_chips])
+        n_st = args.stations_per_chip * n_chips
+        dt = measure(mesh, n_st, station_chunk, audio_chunk, args.iters)
+        msps_per_chip = n_st * station_chunk / dt / n_chips / 1e6
+        if base_rate is None:
+            base_rate = msps_per_chip
+        rows.append({
+            "chips": n_chips,
+            "stations": n_st,
+            "sec_per_chunk": round(dt, 4),
+            "iq_msps_per_chip": round(msps_per_chip, 2),
+            "scaling_efficiency": round(msps_per_chip / base_rate, 3),
+        })
+        print(json.dumps(rows[-1]))
+
+
+if __name__ == "__main__":
+    main()

@@ -68,6 +68,34 @@ def _fir_kernel(x_hbm, m_ref, o_ref, x_vmem, sem, *, block_rows, n_halo):
     o_ref[0, :, :] = acc
 
 
+@functools.lru_cache(maxsize=8)
+def _batched_call(block_rows: int):
+    """pallas_call wrapper with a custom vmap rule.
+
+    The ANY-memory-space input only lowers with whole-array blocks, so an
+    outer ``vmap`` (e.g. a vmapped WBFM step) cannot add a batched block
+    dim; instead the rule collapses the vmap axis into the kernel's own
+    leading batch grid dimension.
+    """
+
+    @jax.custom_batching.custom_vmap
+    def call(x_ext, mats):
+        return _fir_blocks(x_ext, mats, block_rows)
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, x_ext, mats):  # noqa: ANN001
+        x_b, m_b = in_batched
+        if m_b:
+            raise NotImplementedError("taps cannot be batched under vmap")
+        if not x_b:
+            return call(x_ext, mats), False
+        v, b, rows, lanes = x_ext.shape
+        y = call(x_ext.reshape(v * b, rows, lanes), mats)
+        return y.reshape(v, b, *y.shape[1:]), True
+
+    return call
+
+
 @functools.partial(jax.jit, static_argnames=("block_rows",))
 def _fir_blocks(x_ext: jnp.ndarray, mats: jnp.ndarray,
                 block_rows: int) -> jnp.ndarray:
@@ -129,5 +157,5 @@ def fir_causal_pallas(x: jnp.ndarray, taps,
         [halo, x2, jnp.zeros((batch, n_pad), jnp.float32)], axis=-1)
     x_ext = x2.reshape(batch, -1, LANES)
 
-    y = _fir_blocks(x_ext, mats, block_rows)
+    y = _batched_call(block_rows)(x_ext, mats)
     return y.reshape(batch, -1)[:, :n].reshape(lead + (n,))

@@ -58,10 +58,15 @@ def fir_causal(x: jnp.ndarray, taps,
     for long float32 signals, conv otherwise.
     """
     if impl == "auto":
-        from radiocore_tpu.runtime.platform import has_tpu
-        impl = ("pallas" if (has_tpu() and not jnp.iscomplexobj(x)
-                             and x.shape[-1] >= 16384
-                             and isinstance(taps, np.ndarray)) else "conv")
+        import os
+        # Default is the XLA conv lowering; set RADIOCORE_TPU_FIR_IMPL=
+        # pallas to route long f32 FIRs through the MXU kernel (kept
+        # opt-in until the kernel is soak-tested on target hardware).
+        impl = os.environ.get("RADIOCORE_TPU_FIR_IMPL", "conv")
+        if impl == "pallas" and (jnp.iscomplexobj(x)
+                                 or x.shape[-1] < 16384
+                                 or not isinstance(taps, np.ndarray)):
+            impl = "conv"
     if impl == "pallas":
         from radiocore_tpu.kernels.fir_pallas import fir_causal_pallas
         return fir_causal_pallas(x, taps, history=history)

@@ -128,3 +128,11 @@ def test_multi_station_pipeline_sharded_matches():
         n_band, offsets, station_chunk, audio_chunk, mesh=mesh)
     got, _ = step_sh(band, state_sh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    # 2-D mesh: stations × time — band input time-sharded, XLA partitions
+    # the band FFT; audio/state sharded over stations.
+    mesh2 = make_radio_mesh(stations=4, time=2)
+    step_2d, state_2d = make_multi_station_step(
+        n_band, offsets, station_chunk, audio_chunk, mesh=mesh2)
+    got2, _ = step_2d(band, state_2d)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want), atol=1e-5)
