@@ -10,17 +10,20 @@ host scipy.signal for design).
 """
 
 from radiocore_tpu.ops import design
+from radiocore_tpu.ops import fft
 from radiocore_tpu.ops.resample import resample_fft, resample_spectrum
 from radiocore_tpu.ops.fir import fir_causal, zero_phase_fir, fir_stream
 from radiocore_tpu.ops.demod import quadrature_demod
 from radiocore_tpu.ops.analytic import analytic_signal, pll_harmonic
 from radiocore_tpu.ops.deemphasis import deemphasis_init, deemphasis_apply
+from radiocore_tpu.ops.pfb import pfb_taps, pfb_init, pfb_channelize
 
 __all__ = [
-    "design",
+    "design", "fft",
     "resample_fft", "resample_spectrum",
     "fir_causal", "zero_phase_fir", "fir_stream",
     "quadrature_demod",
     "analytic_signal", "pll_harmonic",
     "deemphasis_init", "deemphasis_apply",
+    "pfb_taps", "pfb_init", "pfb_channelize",
 ]

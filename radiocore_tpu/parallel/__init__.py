@@ -18,9 +18,12 @@ from radiocore_tpu.parallel.mesh import make_radio_mesh, station_sharding
 from radiocore_tpu.parallel.halo import (halo_exchange, fir_causal_sharded,
                                          zero_phase_fir_sharded)
 from radiocore_tpu.parallel.pipeline import make_multi_station_step
+from radiocore_tpu.parallel.fft_sharded import (fft_sharded_auto,
+                                                fft_sharded_fourstep)
 
 __all__ = [
     "make_radio_mesh", "station_sharding",
     "halo_exchange", "fir_causal_sharded", "zero_phase_fir_sharded",
     "make_multi_station_step",
+    "fft_sharded_auto", "fft_sharded_fourstep",
 ]
