@@ -33,7 +33,7 @@ def main() -> None:
     offsets = [int(-half + i * station_chunk) for i in range(n_stations)]
 
     step, state = make_multi_station_step(
-        n_band, offsets, station_chunk, audio_chunk)
+        n_band, offsets, station_chunk, audio_chunk, mode="fast")
 
     # Synthesize the band ON DEVICE (jax.random): avoids host→device IQ
     # transfer entirely, which some TPU relay stacks reject for large

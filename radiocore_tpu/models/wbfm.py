@@ -58,20 +58,30 @@ def wbfm_init_state(output_size: int, rate: float = 75e-6,
 
 
 def make_wbfm_step(input_size: int, output_size: int,
-                   deemphasis: float = 75e-6
+                   deemphasis: float = 75e-6, mode: str = "exact"
                    ) -> Callable[[jnp.ndarray, State], Tuple[jnp.ndarray, State]]:
     """Build the pure WBFM step function for static chunk sizes.
 
     Returned step maps ``(iq (..., input_size) c64, state) →
     (audio (..., output_size, 2) f32, state)``; leading batch dims are the
     station axis.
+
+    ``mode='exact'`` reproduces the reference stage-for-stage (golden
+    tests assert >40 dB match). ``mode='fast'`` computes the same
+    pipeline with spectra reused across stages — the composite spectrum
+    from the demod resample feeds the pilot's analytic signal directly
+    (zero-phase bandpass applied as |B(ω)|² in frequency) and the stereo
+    matrix is decimated by linearity with one extra rfft — roughly
+    halving the large-transform count. It differs from the reference
+    only in FIR edge handling (circular vs odd-extension), far inside
+    the 1 dB SNR acceptance bound (BASELINE.md); asserted by test.
     """
     input_size, output_size = int(input_size), int(output_size)
     win = design.resample_window("hamm", input_size)
     bp_taps = design.bandpass_taps(PILOT_TAPS, PILOT_LO, PILOT_HI, input_size)
     de_taps, _ = deemphasis_init(output_size, deemphasis)
 
-    def step(iq: jnp.ndarray, state: State) -> Tuple[jnp.ndarray, State]:
+    def step_exact(iq: jnp.ndarray, state: State) -> Tuple[jnp.ndarray, State]:
         comp = quadrature_demod(iq)
         comp = resample_fft(comp, input_size, win)  # spectral hamming lowpass
 
@@ -81,17 +91,72 @@ def make_wbfm_step(input_size: int, output_size: int,
 
         left = resample_fft(comp + lmr, output_size, win)
         right = resample_fft(comp - lmr, output_size, win)
+        return _finish(left, right, state)
 
-        left, hist_l = deemphasis_apply(left, de_taps, state["deemph_l"])
-        right, hist_r = deemphasis_apply(right, de_taps, state["deemph_r"])
+    # ---- fast mode constants (host-side) --------------------------------
+    n = input_size
+    n_rfft = n // 2 + 1
+    # One-sided folded resample window (scipy rfft-branch semantics).
+    from radiocore_tpu.ops.resample import _fold_window_onesided
+    w1 = _fold_window_onesided(win, n_rfft)
+    # Zero-phase pilot bandpass as |B(ω)|² at the one-sided bins.
+    b2 = np.abs(np.fft.rfft(bp_taps, n)) ** 2
+    # Analytic-signal weights on one-sided bins: 1 at DC/Nyquist, 2 else.
+    h_half = np.full(n_rfft, 2.0)
+    h_half[0] = 1.0
+    if n % 2 == 0:
+        h_half[-1] = 1.0
+    pilot_weights = (w1 * b2 * h_half).astype(np.float32)
 
-        audio = jnp.stack([left, right], axis=-1)
+    m = output_size
+    m2 = m // 2 + 1
+    s_fac = n / m
+
+    def _decimate_spec(spec_onesided: jnp.ndarray) -> jnp.ndarray:
+        """rfft-domain decimate: window, truncate, Nyquist fix, irfft."""
+        from radiocore_tpu.ops import fft as _fft
+        x = spec_onesided * jnp.asarray(w1, dtype=jnp.float32)
+        x = x[..., :m2]
+        if m % 2 == 0 and m != n:
+            x = x.at[..., m // 2].multiply(2.0)
+        return _fft.irfft(x / s_fac, n=m)
+
+    def step_fast(iq: jnp.ndarray, state: State) -> Tuple[jnp.ndarray, State]:
+        from radiocore_tpu.ops import fft as _fft
+        quad = quadrature_demod(iq)
+        q_spec = _fft.rfft(quad)                       # big rfft #1
+        c_spec = q_spec * jnp.asarray(w1, dtype=jnp.float32)
+        comp = _fft.irfft(c_spec, n=n)                 # big irfft #2
+
+        # Pilot analytic signal straight from the composite spectrum:
+        # zero negative freqs == one-sided spectrum with h weights.
+        z = jnp.concatenate(
+            [c_spec * jnp.asarray(pilot_weights),
+             jnp.zeros(c_spec.shape[:-1] + (n - n_rfft,), c_spec.dtype)],
+            axis=-1)
+        analytic = _fft.ifft(z)                        # big ifft #3
+        subcarrier = pll_harmonic(analytic, 2, "imag")
+        lmr = subcarrier * comp * STEREO_GAIN
+
+        lmr_spec = _fft.rfft(lmr)                      # big rfft #4
+        left = _decimate_spec(c_spec + lmr_spec)       # small irffts
+        right = _decimate_spec(c_spec - lmr_spec)
+        return _finish(left, right, state)
+
+    def _finish(left, right, state):
+        l, hist_l = deemphasis_apply(left, de_taps, state["deemph_l"])
+        r, hist_r = deemphasis_apply(right, de_taps, state["deemph_r"])
+        audio = jnp.stack([l, r], axis=-1)
         audio = audio - jnp.mean(audio, axis=(-2, -1), keepdims=True)
         audio = jnp.clip(audio, -CLIP, CLIP)
         return audio.astype(jnp.float32), {"deemph_l": hist_l,
                                            "deemph_r": hist_r}
 
-    return step
+    if mode == "exact":
+        return step_exact
+    if mode == "fast":
+        return step_fast
+    raise ValueError(f"unknown mode {mode!r}")
 
 
 class WBFM:

@@ -54,6 +54,7 @@ def make_multi_station_step(
         audio_chunk: int,
         deemphasis: float = 75e-6,
         mesh: Optional[Mesh] = None,
+        mode: str = "exact",
 ) -> Tuple[Callable, dict]:
     """Build ``step(band_iq, state) -> (audio, state)`` plus initial state.
 
@@ -72,7 +73,7 @@ def make_multi_station_step(
     n_stations = len(offsets_hz)
     src, w, fix, m2 = _channelizer_constants(n_band, offsets_hz, station_chunk)
     s_fac = n_band / station_chunk
-    wbfm = make_wbfm_step(station_chunk, audio_chunk, deemphasis)
+    wbfm = make_wbfm_step(station_chunk, audio_chunk, deemphasis, mode=mode)
     wbfm_batched = jax.vmap(wbfm)
 
     src_j = jnp.asarray(src)

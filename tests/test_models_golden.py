@@ -71,6 +71,27 @@ def test_wbfm_stereo_separation():
     assert oracles.tone_snr_db(r, AUDIO, 1000.0) - r_at_l > 10
 
 
+def test_wbfm_fast_mode_matches_exact():
+    """mode='fast' (spectrum-reuse pipeline) stays far inside the 1 dB
+    SNR acceptance bound vs the exact reference path."""
+    import jax
+    from radiocore_tpu.models.wbfm import make_wbfm_step, wbfm_init_state
+
+    iq = _wbfm_iq()
+    exact = jax.jit(make_wbfm_step(FS, AUDIO, mode="exact"))
+    fast = jax.jit(make_wbfm_step(FS, AUDIO, mode="fast"))
+    a_e, _ = exact(iq, wbfm_init_state(AUDIO))
+    a_f, _ = fast(iq, wbfm_init_state(AUDIO))
+    a_e, a_f = np.asarray(a_e), np.asarray(a_f)
+    for ch in range(2):
+        # Interior: edge transients differ by design (circular vs odd-ext).
+        snr = oracles.snr_db(a_e[500:-500, ch], a_f[500:-500, ch])
+        assert snr > 30, snr
+    # Stereo still separates in fast mode.
+    assert oracles.tone_snr_db(a_f[1000:-1000, 0], AUDIO, 440.0) > 10
+    assert oracles.tone_snr_db(a_f[1000:-1000, 1], AUDIO, 1000.0) > 10
+
+
 def test_channels_properties():
     assert FM(1000, 1000).channels == 1
     assert MFM(1000, 1000).channels == 1
