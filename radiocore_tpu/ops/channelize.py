@@ -1,0 +1,80 @@
+"""Batched channel extraction from a full-band spectrum.
+
+Core of the Tuner / fused pipeline: for channel c with spectrum roll
+``s_c``, scipy's ``resample(roll(X, s_c)·W, m, domain='freq')`` keeps the
+bins around DC of the rolled spectrum — which form ONE contiguous
+(wrapping) run of the *unrolled* spectrum. So extraction needs no
+large gather: each channel is a static contiguous slice of
+``concat([X, X[:run]])``, reordered and windowed, followed by one batched
+IFFT. Static slices compile to plain HBM reads (the gather formulation
+pays scattered-access cost on TPU).
+
+Shift/window/Nyquist-fold semantics exactly match
+``resample_spectrum(roll(X, s)·W, m)`` — asserted by tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from radiocore_tpu.ops import design
+from radiocore_tpu.ops import fft as _fft
+
+
+def extraction_plan(n: int, shifts: Sequence[int], bandwidth: int):
+    """Host-side constants: slice starts, window vector, fix weight."""
+    m = int(bandwidth)
+    m2 = m // 2 + 1
+    win = np.fft.fftshift(design.window("hann", n))
+
+    neg = m - m2                       # number of negative-frequency bins
+    run = m + (1 if m % 2 == 0 else 0)  # extra leading fix bin when even
+    # Rolled-bin positions covered by the run, in slice order.
+    if m % 2 == 0:
+        rolled = np.concatenate([[n - m // 2],
+                                 np.arange(n - neg, n), np.arange(m2)])
+    else:
+        rolled = np.concatenate([np.arange(n - neg, n), np.arange(m2)])
+    starts = [int((rolled[0] - s) % n) for s in shifts]
+
+    # Window sampled at rolled positions, in OUTPUT order [pos, neg].
+    w_out = np.concatenate([win[:m2], win[n - neg:]]).astype(np.float32)
+    w_fix = np.float32(win[n - m // 2]) if m % 2 == 0 else None
+    return starts, w_out, w_fix, m2, run
+
+
+@functools.lru_cache(maxsize=32)
+def make_extractor(n: int, shifts: Tuple[int, ...],
+                   bandwidth: int) -> Callable:
+    """Jit-compatible ``spectrum (n,) → channels (C, bandwidth)`` fn."""
+    m = int(bandwidth)
+    starts, w_out, w_fix, m2, run = extraction_plan(n, shifts, m)
+    neg = m - m2
+    s_fac = n / m
+    w_j = jnp.asarray(w_out)
+
+    def extract(spectrum: jnp.ndarray) -> jnp.ndarray:
+        ext = jnp.concatenate([spectrum, spectrum[..., :run]], axis=-1)
+        rows = []
+        for a0 in starts:
+            sl = ext[..., a0:a0 + run]
+            if m % 2 == 0:
+                y = jnp.concatenate([sl[..., m // 2:], sl[..., 1:m // 2]],
+                                    axis=-1) * w_j
+                y = y.at[..., m2 - 1].add(sl[..., 0] * w_fix)
+            else:
+                y = jnp.concatenate([sl[..., neg:], sl[..., :neg]],
+                                    axis=-1) * w_j
+            rows.append(y)
+        y_all = jnp.stack(rows, axis=-2)      # (..., C, m)
+        # Barrier pins a canonical layout: without it the SPMD partitioner
+        # may hand the CPU FFT runtime a non-dim0-major layout (RET_CHECK).
+        y_all = jax.lax.optimization_barrier(y_all)
+        return _fft.ifft(y_all / s_fac)
+
+    return extract

@@ -24,27 +24,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from radiocore_tpu.models.wbfm import make_wbfm_step, wbfm_init_state
-from radiocore_tpu.ops import design
 from radiocore_tpu.ops import fft as _fft
+from radiocore_tpu.ops.channelize import make_extractor
 from radiocore_tpu.parallel.mesh import STATIONS, TIME
-
-
-def _channelizer_constants(n_band: int, offsets_hz: Sequence[int],
-                           station_chunk: int):
-    """Precompute the all-stations spectrum-gather (see tools/tuner.py)."""
-    m = int(station_chunk)
-    m2 = m // 2 + 1
-    win = np.fft.fftshift(design.window("hann", n_band))
-    k = np.concatenate([np.arange(m2), np.arange(n_band - (m - m2), n_band)])
-    shifts = -np.asarray(offsets_hz, dtype=np.int64)  # roll = f_center − f_ch
-    src = (k[None, :] - shifts[:, None]) % n_band
-    w = win[k].astype(np.float32)
-    fix = None
-    if m % 2 == 0:
-        k_fix = n_band - m // 2
-        fix = (((k_fix - shifts) % n_band).astype(np.int64),
-               np.float32(win[k_fix]))
-    return src.astype(np.int64), w, fix, m2
 
 
 def make_multi_station_step(
@@ -71,21 +53,23 @@ def make_multi_station_step(
     band FFT and the station gather are the only cross-shard points).
     """
     n_stations = len(offsets_hz)
-    src, w, fix, m2 = _channelizer_constants(n_band, offsets_hz, station_chunk)
-    s_fac = n_band / station_chunk
+    # Roll = band_center − station_center = −offset (tuner convention).
+    extract = make_extractor(int(n_band),
+                             tuple(int(-o) for o in offsets_hz),
+                             int(station_chunk))
     wbfm = make_wbfm_step(station_chunk, audio_chunk, deemphasis, mode=mode)
     wbfm_batched = jax.vmap(wbfm)
 
-    src_j = jnp.asarray(src)
-    w_j = jnp.asarray(w)
-
     def step(band_iq: jnp.ndarray, state: dict):
+        if mesh is not None:
+            # Gather the time-sharded band before the FFT with an explicit
+            # canonical-layout constraint (the CPU FFT runtime rejects the
+            # partitioner's implicit-gather layout; on TPU this is where a
+            # sharded four-step FFT slots in — parallel/fft_sharded.py).
+            band_iq = jax.lax.with_sharding_constraint(
+                band_iq, NamedSharding(mesh, P()))
         spectrum = _fft.fft(band_iq)
-        y = spectrum[src_j] * w_j
-        if fix is not None:
-            fix_idx, fix_w = fix
-            y = y.at[:, m2 - 1].add(spectrum[jnp.asarray(fix_idx)] * fix_w)
-        stations_iq = _fft.ifft(y / s_fac)
+        stations_iq = extract(spectrum)
         return wbfm_batched(stations_iq.astype(jnp.complex64), state)
 
     state0 = wbfm_init_state(audio_chunk, deemphasis,

@@ -54,41 +54,16 @@ class Channel:
 
 @functools.lru_cache(maxsize=32)
 def _make_extract_all(n: int, shifts: tuple, bandwidth: int) -> Callable:
-    """Build the jitted all-channels extractor for a static band plan.
+    """Jitted all-channels extractor for a static band plan.
 
-    For channel c with roll ``s_c`` and output length ``m``: the kept
-    output bin j corresponds to post-roll spectrum position
-    ``k_j = j`` (positive freqs, j < m//2+1) or ``k_j = n - m + j``
-    (negative freqs), i.e. source bin ``(k_j - s_c) mod n``; the hann
-    window is sampled at the post-roll position ``k_j`` (identical for all
-    channels), and for even ``m`` the unpaired ±m/2 pair folds into bin
-    ``m//2`` — exactly scipy's ``resample(..., domain='freq')`` fold.
+    Delegates to :func:`radiocore_tpu.ops.channelize.make_extractor`:
+    every channel's kept bins form one contiguous (wrapping) run of the
+    unrolled spectrum, so extraction is static slices + one batched IFFT
+    — semantics identical to scipy's ``resample(..., domain='freq')``
+    fold of the rolled, hann-windowed spectrum.
     """
-    m = int(bandwidth)
-    m2 = m // 2 + 1
-    win = np.fft.fftshift(design.window("hann", n))
-
-    k = np.concatenate([np.arange(m2), np.arange(n - (m - m2), n)])
-    src = (k[None, :] - np.asarray(shifts)[:, None]) % n    # (C, m)
-    w = win[k]                                              # (m,)
-    if m % 2 == 0:
-        k_fix = n - m // 2
-        src_fix = (k_fix - np.asarray(shifts)) % n          # (C,)
-        w_fix = win[k_fix]
-
-    src_j = jnp.asarray(src, dtype=jnp.int32)
-    w_j = jnp.asarray(w, dtype=jnp.float32)
-    s_fac = n / m
-
-    @jax.jit
-    def extract_all(spectrum: jnp.ndarray) -> jnp.ndarray:
-        y = spectrum[src_j] * w_j
-        if m % 2 == 0:
-            fix = spectrum[jnp.asarray(src_fix, dtype=jnp.int32)] * w_fix
-            y = y.at[:, m2 - 1].add(fix)
-        return _fft.ifft(y / s_fac)
-
-    return extract_all
+    from radiocore_tpu.ops.channelize import make_extractor
+    return jax.jit(make_extractor(n, shifts, int(bandwidth)))
 
 
 class Tuner:
