@@ -1,0 +1,96 @@
+"""Wideband channelizer benchmark — BASELINE.md config 4.
+
+61.44 MS/s complex band → 64 channels of 960 kS/s via the polyphase
+filterbank, plus an overlap-save FIR pass at the full band rate.
+Reports Msamples/s on the active platform (optionally sharded over the
+``time`` axis of a mesh with ``--time-shards``; FIR halos ride
+ppermute — parallel/halo.py).
+
+    python benchmarks/wideband.py [--seconds 0.5] [--time-shards N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--band-rate", type=float, default=61.44e6)
+    parser.add_argument("--channels", type=int, default=64)
+    parser.add_argument("--taps-per-branch", type=int, default=8)
+    parser.add_argument("--fir-taps", type=int, default=129)
+    parser.add_argument("--seconds", type=float, default=0.25)
+    parser.add_argument("--iters", type=int, default=5)
+    parser.add_argument("--time-shards", type=int, default=0,
+                        help=">0: shard the band over a time mesh axis")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from scipy import signal as sig
+    from radiocore_tpu.ops.pfb import pfb_taps, pfb_init, pfb_channelize
+    from radiocore_tpu.ops.fir import fir_overlap_save
+
+    m = args.channels
+    n = int(args.band_rate * args.seconds)
+    n -= n % m
+    taps = pfb_taps(m, args.taps_per_branch)
+    fir = sig.firwin(args.fir_taps, 0.45)
+
+    @jax.jit
+    def make_band(key):
+        planes = 0.1 * jax.random.normal(key, (2, n), jnp.float32)
+        return jax.lax.complex(planes[0], planes[1])
+
+    hist = pfb_init(m, args.taps_per_branch)
+
+    if args.time_shards > 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from radiocore_tpu.parallel.mesh import make_radio_mesh, TIME
+        mesh = make_radio_mesh(stations=1, time=args.time_shards,
+                               devices=jax.devices()[:args.time_shards])
+        sh = NamedSharding(mesh, P(None, TIME))
+
+        @jax.jit
+        def step(band, h):
+            band = fir_overlap_save(band, fir)
+            return pfb_channelize(band, taps, m, history=h)
+        step = jax.jit(step, in_shardings=(NamedSharding(mesh, P(TIME)),
+                                           NamedSharding(mesh, P())))
+    else:
+        @jax.jit
+        def step(band, h):
+            band = fir_overlap_save(band, fir)
+            return pfb_channelize(band, taps, m, history=h)
+
+    band = make_band(jax.random.key(0))
+    jax.block_until_ready(band)
+
+    ch, hist2 = step(band, hist)
+    jax.block_until_ready(ch)
+
+    t0 = time.perf_counter()
+    h = hist
+    for _ in range(args.iters):
+        ch, h = step(band, h)
+    jax.block_until_ready(ch)
+    dt = (time.perf_counter() - t0) / args.iters
+
+    msps = n / dt / 1e6
+    print(json.dumps({
+        "metric": "wideband_fir_pfb_msamples_per_s",
+        "value": round(msps, 1),
+        "unit": "Msps",
+        "band_rate_msps": args.band_rate / 1e6,
+        "realtime_factor": round(msps * 1e6 / args.band_rate, 2),
+        "channels": m,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -51,14 +51,50 @@ def extraction_plan(n: int, shifts: Sequence[int], bandwidth: int):
 @functools.lru_cache(maxsize=32)
 def make_extractor(n: int, shifts: Tuple[int, ...],
                    bandwidth: int) -> Callable:
-    """Jit-compatible ``spectrum (n,) → channels (C, bandwidth)`` fn."""
+    """Jit-compatible ``spectrum (n,) → channels (C, bandwidth)`` fn.
+
+    Two lowerings: when the channel plan tiles the band uniformly with
+    spacing == bandwidth (the critical multi-FM layout), ALL channels'
+    runs are one rolled spectrum reshaped ``(C, m)`` — two static slices
+    and a reshape. Otherwise, one static slice per channel.
+    """
     m = int(bandwidth)
+    c = len(shifts)
     starts, w_out, w_fix, m2, run = extraction_plan(n, shifts, m)
     neg = m - m2
     s_fac = n / m
     w_j = jnp.asarray(w_out)
 
-    def extract(spectrum: jnp.ndarray) -> jnp.ndarray:
+    uniform = (c > 1 and n >= c * m
+               and all((starts[i] - starts[0]) % n == (i * m) % n
+                       for i in range(c)))
+
+    def finish(y_all: jnp.ndarray) -> jnp.ndarray:
+        # Barrier pins a canonical layout: without it the SPMD partitioner
+        # may hand the CPU FFT runtime a non-dim0-major layout (RET_CHECK).
+        y_all = jax.lax.optimization_barrier(y_all)
+        return _fft.ifft(y_all / s_fac)
+
+    def extract_uniform(spectrum: jnp.ndarray) -> jnp.ndarray:
+        a0 = starts[0]
+        need = c * m + 1
+        base = jnp.concatenate(
+            [spectrum[..., a0:], spectrum[..., :a0],
+             spectrum[..., a0:a0 + 1]], axis=-1)[..., :need]
+        rows = base[..., :c * m].reshape(spectrum.shape[:-1] + (c, m))
+        # Element ``m`` of each run is the next row's first element.
+        nxt = jnp.concatenate([rows[..., 1:, :1], base[..., None, -1:]],
+                              axis=-2)                     # (..., C, 1)
+        if m % 2 == 0:
+            pos = jnp.concatenate([rows[..., m // 2:], nxt], axis=-1)
+            y = jnp.concatenate([pos, rows[..., 1:m // 2]], axis=-1) * w_j
+            y = y.at[..., m2 - 1].add(rows[..., 0] * w_fix)
+        else:
+            pos = jnp.concatenate([rows[..., neg:], nxt], axis=-1)[..., :m2]
+            y = jnp.concatenate([pos, rows[..., :neg]], axis=-1) * w_j
+        return finish(y)
+
+    def extract_slices(spectrum: jnp.ndarray) -> jnp.ndarray:
         ext = jnp.concatenate([spectrum, spectrum[..., :run]], axis=-1)
         rows = []
         for a0 in starts:
@@ -71,10 +107,6 @@ def make_extractor(n: int, shifts: Tuple[int, ...],
                 y = jnp.concatenate([sl[..., neg:], sl[..., :neg]],
                                     axis=-1) * w_j
             rows.append(y)
-        y_all = jnp.stack(rows, axis=-2)      # (..., C, m)
-        # Barrier pins a canonical layout: without it the SPMD partitioner
-        # may hand the CPU FFT runtime a non-dim0-major layout (RET_CHECK).
-        y_all = jax.lax.optimization_barrier(y_all)
-        return _fft.ifft(y_all / s_fac)
+        return finish(jnp.stack(rows, axis=-2))
 
-    return extract
+    return extract_uniform if uniform else extract_slices

@@ -95,6 +95,56 @@ def fir_stream(x: jnp.ndarray, taps,
     return y, new_history
 
 
+def fir_overlap_save(x: jnp.ndarray, taps,
+                     history: Optional[jnp.ndarray] = None,
+                     block: int = 1 << 15) -> jnp.ndarray:
+    """Causal FIR via FFT overlap-save (for very long signals/wideband).
+
+    Identical output to :func:`fir_causal`; cost is O(N·log(block))
+    independent of tap count — the right regime for the wideband
+    configs (BASELINE.md config 4: 61.44 MS/s overlap-save FIR). Blocks
+    of ``block`` samples are filtered with an FFT of ``block + 2^k ≥
+    block + T - 1`` using a precomputed tap spectrum; the carried
+    ``history`` works exactly like :func:`fir_stream`'s.
+    """
+    taps_np = np.asarray(taps, dtype=np.float64)
+    t = len(taps_np)
+    n = x.shape[-1]
+    block = int(block)
+    if block < t:
+        raise ValueError(f"block ({block}) must be >= num_taps ({t})")
+    nfft = 1
+    while nfft < block + t - 1:
+        nfft *= 2
+    h_spec = np.fft.rfft(taps_np, nfft)
+
+    if history is None:
+        history = jnp.zeros(x.shape[:-1] + (t - 1,), dtype=x.dtype)
+    xp = jnp.concatenate([history.astype(x.dtype), x], axis=-1)
+
+    n_blocks = -(-n // block)
+    pad = n_blocks * block - n
+    xp = jnp.pad(xp, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+
+    # Overlapping segments: segment b covers xp[b·block : b·block+block+t-1].
+    segs = jnp.stack(
+        [xp[..., b * block:b * block + block + t - 1]
+         for b in range(n_blocks)], axis=-2)       # (..., B, block+t-1)
+
+    if jnp.iscomplexobj(x):
+        hs = jnp.asarray(np.fft.fft(taps_np, nfft).astype(np.complex64))
+        y = jnp.fft.ifft(jnp.fft.fft(segs, n=nfft, axis=-1) * hs, axis=-1)
+        y = y.astype(x.dtype)
+    else:
+        hs = jnp.asarray(h_spec.astype(np.complex64))
+        y = jnp.fft.irfft(jnp.fft.rfft(segs, n=nfft, axis=-1) * hs,
+                          n=nfft, axis=-1).astype(x.dtype)
+    # Valid region of each block: samples t-1 .. t-1+block-1.
+    y = y[..., t - 1:t - 1 + block]
+    y = y.reshape(x.shape[:-1] + (n_blocks * block,))
+    return y[..., :n]
+
+
 def zero_phase_fir(x: jnp.ndarray, taps,
                    padlen: Optional[int] = None) -> jnp.ndarray:
     """Zero-phase FIR (forward-backward), matching ``scipy.signal.filtfilt``.

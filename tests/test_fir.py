@@ -3,7 +3,8 @@
 import numpy as np
 from scipy import signal as sig
 
-from radiocore_tpu.ops.fir import fir_causal, fir_stream, zero_phase_fir
+from radiocore_tpu.ops.fir import (fir_causal, fir_stream, zero_phase_fir,
+                                   fir_overlap_save)
 from radiocore_tpu.ops import design
 
 RNG = np.random.default_rng(7)
@@ -53,6 +54,26 @@ def test_fir_stream_matches_scipy_zi():
     got2, _ = fir_stream(x[400:].astype(np.float32), taps, hist)
     np.testing.assert_allclose(np.asarray(got1), want1, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got2), want2, atol=1e-5)
+
+
+def test_overlap_save_matches_direct():
+    taps = sig.firwin(63, 0.3)
+    for n in (10_000, 65_536, 12_345):
+        x = RNG.standard_normal(n).astype(np.float32)
+        want = np.asarray(fir_causal(x, taps))
+        got = np.asarray(fir_overlap_save(x, taps, block=4096))
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_overlap_save_complex_with_history():
+    taps = sig.firwin(41, 0.2)
+    x = (RNG.standard_normal(20_000) + 1j * RNG.standard_normal(20_000)
+         ).astype(np.complex64)
+    hist = (RNG.standard_normal(40) + 1j * RNG.standard_normal(40)
+            ).astype(np.complex64)
+    want = np.asarray(fir_causal(x, taps, history=hist))
+    got = np.asarray(fir_overlap_save(x, taps, history=hist, block=2048))
+    np.testing.assert_allclose(got, want, atol=2e-4)
 
 
 def test_zero_phase_matches_filtfilt():
