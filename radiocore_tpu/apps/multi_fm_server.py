@@ -78,6 +78,50 @@ def serve(tuner: Tuner, source, seconds: float,
         metrics.gauge("chunk_seconds", time.monotonic() - t0)
 
 
+def serve_fused(specs: Sequence[StationSpec], band_rate: float,
+                audio_rate: float, source, seconds: float,
+                publisher=None, sinks: Optional[List] = None,
+                metrics: Optional[Metrics] = None,
+                mode: str = "fast") -> None:
+    """All-WBFM serving through the single fused jitted step.
+
+    One XLA program per second: band FFT → all-station extraction →
+    batched WBFM (parallel/pipeline.py). Requires homogeneous WBFM
+    stations (the scaling workload of BASELINE.md configs 3–5).
+    """
+    from radiocore_tpu.parallel.pipeline import make_multi_station_step
+
+    metrics = metrics or Metrics()
+    n_band = int(band_rate)
+    center = (min(s.frequency for s in specs) +
+              max(s.frequency for s in specs)) / 2
+    offsets = [int(s.frequency - center) for s in specs]
+    bw = int(specs[0].bandwidth)
+    step, state = make_multi_station_step(
+        n_band, offsets, bw, int(audio_rate), mode=mode)
+    topics = [int(s.frequency).to_bytes(4, "little") for s in specs]
+
+    for _ in range(int(round(seconds))):
+        chunk = source.read_chunk(1.0)
+        t0 = time.monotonic()
+        audio_all, state = step(jnp_asarray_c64(chunk), state)
+        audio_np = np.asarray(audio_all)
+        for i, topic in enumerate(topics):
+            if publisher is not None:
+                publisher.send_multipart(
+                    [topic, np.ascontiguousarray(
+                        audio_np[i], np.float32).tobytes()])
+            if sinks:
+                sinks[i].write(audio_np[i])
+        metrics.incr("chunks")
+        metrics.gauge("chunk_seconds", time.monotonic() - t0)
+
+
+def jnp_asarray_c64(x):
+    from radiocore_tpu.runtime.transfer import to_device_c64
+    return to_device_c64(x)
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--stations", type=int, default=3)
@@ -89,13 +133,17 @@ def main(argv=None) -> None:
     parser.add_argument("--seconds", type=float, default=2.0)
     parser.add_argument("--bind", default="tcp://*:5555")
     parser.add_argument("--no-zmq", action="store_true")
+    parser.add_argument("--fused", action="store_true",
+                        help="all-WBFM single-jitted-step pipeline "
+                             "(batched channelize+demod)")
     parser.add_argument("--wav-prefix", default=None,
                         help="also write each station to PREFIX_<i>.wav")
     args = parser.parse_args(argv)
 
     base = 96.9e6
+    modes = ["wbfm"] * 3 if args.fused else ["wbfm", "mfm", "fm"]
     specs = [StationSpec(base + i * 400e3,
-                         ["wbfm", "mfm", "fm"][i % 3], args.bandwidth)
+                         modes[i % 3], args.bandwidth)
              for i in range(args.stations)]
     tuner = build_tuner(specs, args.audio_rate, args.band_rate)
 
@@ -117,7 +165,11 @@ def main(argv=None) -> None:
 
     metrics = Metrics()
     try:
-        serve(tuner, source, args.seconds, publisher, sinks, metrics)
+        if args.fused:
+            serve_fused(specs, tuner.input_bandwidth, args.audio_rate,
+                        source, args.seconds, publisher, sinks, metrics)
+        else:
+            serve(tuner, source, args.seconds, publisher, sinks, metrics)
     finally:
         if sinks:
             for s in sinks:

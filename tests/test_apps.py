@@ -60,6 +60,20 @@ def test_multi_fm_server_headless(tmp_path, capsys):
     assert r0 == 10_000 and a0.shape[0] == 10_000
 
 
+def test_multi_fm_server_fused(tmp_path, capsys):
+    prefix = str(tmp_path / "fu")
+    srv.main(["--stations", "2", "--band-rate", "1e6",
+              "--bandwidth", "50e3", "--audio-rate", "10e3",
+              "--seconds", "1", "--no-zmq", "--fused",
+              "--wav-prefix", prefix])
+    assert "served 1 chunks" in capsys.readouterr().out
+    r0, a0 = wavfile.read(prefix + "_0.wav")
+    assert r0 == 10_000 and a0.shape == (10_000, 2)  # stereo WBFM
+    a = a0.astype(np.float32) / 32767
+    # Station 0's left tone (300 Hz per SyntheticFmSource defaults).
+    assert oracles.tone_snr_db(a[2000:, 0], 10_000, 300.0) > 6
+
+
 def test_zmq_pub_sub_loopback(tmp_path):
     zmq = pytest.importorskip("zmq")
     from radiocore_tpu.apps import multi_fm_receiver as rcv
