@@ -58,6 +58,10 @@ def test_multi_fm_server_headless(tmp_path, capsys):
     assert "served 1 chunks" in capsys.readouterr().out
     r0, a0 = wavfile.read(prefix + "_0.wav")
     assert r0 == 10_000 and a0.shape[0] == 10_000
+    # Station 0 is WBFM; its left tone (300 Hz) must come through the
+    # Tuner → demodulator-class path.
+    a = a0.astype(np.float32) / 32767
+    assert oracles.tone_snr_db(a[2000:, 0], 10_000, 300.0) > 6
 
 
 def test_multi_fm_server_fused(tmp_path, capsys):
