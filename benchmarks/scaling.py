@@ -62,8 +62,6 @@ def main(argv=None) -> None:
     from radiocore_tpu.parallel.mesh import make_radio_mesh
 
     n_dev = len(jax.devices())
-    sizes = sorted({1, 2, n_dev} & set(
-        d for d in range(1, n_dev + 1) if n_dev % d == 0 or d <= n_dev))
     sizes = [s for s in (1, 2, 4, n_dev) if s <= n_dev]
 
     station_chunk = int(args.station_rate)

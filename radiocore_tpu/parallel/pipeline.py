@@ -68,7 +68,10 @@ def make_multi_station_step(
             # sharded four-step FFT slots in — parallel/fft_sharded.py).
             band_iq = jax.lax.with_sharding_constraint(
                 band_iq, NamedSharding(mesh, P()))
-        spectrum = _fft.fft(band_iq)
+        # Barrier: without it XLA fuses the band FFT's output into the
+        # extraction slices, degenerating them into a gather-style loop
+        # (measured 123 ms vs 7 ms for FFT+extract on v5e).
+        spectrum = jax.lax.optimization_barrier(_fft.fft(band_iq))
         stations_iq = extract(spectrum)
         return wbfm_batched(stations_iq.astype(jnp.complex64), state)
 
