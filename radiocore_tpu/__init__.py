@@ -19,7 +19,8 @@ Public surface mirrors the reference package flat re-export style
 (reference: ``radiocore/__init__.py:3-4``).
 """
 
-from radiocore_tpu.runtime.platform import has_tpu, HasTpu, platform_summary
+from radiocore_tpu.runtime.platform import (has_tpu, HasTpu, HasCuda,
+                                            platform_summary)
 from radiocore_tpu.models.fm import FM
 from radiocore_tpu.models.mfm import MFM
 from radiocore_tpu.models.wbfm import WBFM
@@ -38,5 +39,5 @@ __version__ = "1.0.0"
 __all__ = [
     "FM", "MFM", "WBFM", "Bandpass", "Decimate", "Deemphasis", "PLL",
     "Buffer", "RingBuffer", "Carrousel", "Chopper", "Tuner", "Channel",
-    "has_tpu", "HasTpu", "platform_summary", "__version__",
+    "has_tpu", "HasTpu", "HasCuda", "platform_summary", "__version__",
 ]

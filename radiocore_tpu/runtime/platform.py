@@ -32,6 +32,13 @@ def HasTpu() -> bool:  # noqa: N802 - parity alias with reference HasCuda()
     return has_tpu()
 
 
+def HasCuda() -> bool:  # noqa: N802 - drop-in migration shim
+    """Migration shim for code written against the reference API: answers
+    "is an accelerator available?" — here that means a TPU
+    (reference: ``radiocore/__init__.py:6-26``)."""
+    return has_tpu()
+
+
 def platform_summary() -> dict:
     """Return a structured summary of the visible JAX platform/devices."""
     devs = jax.devices()

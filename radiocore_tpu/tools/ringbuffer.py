@@ -73,7 +73,11 @@ class RingBuffer:
 
     @property
     def data(self) -> np.ndarray:
-        """Raw backing array (use with care)."""
+        """Raw backing array (use with care).
+
+        Only meaningful on the python backend; the native backend's
+        storage lives in C++ and returns an empty array here.
+        """
         return self._ring
 
     def reset(self) -> None:
