@@ -60,7 +60,7 @@ def make_multi_station_step(
     wbfm = make_wbfm_step(station_chunk, audio_chunk, deemphasis, mode=mode)
     wbfm_batched = jax.vmap(wbfm)
 
-    def step(band_iq: jnp.ndarray, state: dict):
+    def band_fft(band_iq: jnp.ndarray) -> jnp.ndarray:
         if mesh is not None:
             # Gather the time-sharded band before the FFT with an explicit
             # canonical-layout constraint (the CPU FFT runtime rejects the
@@ -68,10 +68,9 @@ def make_multi_station_step(
             # sharded four-step FFT slots in — parallel/fft_sharded.py).
             band_iq = jax.lax.with_sharding_constraint(
                 band_iq, NamedSharding(mesh, P()))
-        # Barrier: without it XLA fuses the band FFT's output into the
-        # extraction slices, degenerating them into a gather-style loop
-        # (measured 123 ms vs 7 ms for FFT+extract on v5e).
-        spectrum = jax.lax.optimization_barrier(_fft.fft(band_iq))
+        return _fft.fft(band_iq)
+
+    def demod(spectrum: jnp.ndarray, state: dict):
         stations_iq = extract(spectrum)
         return wbfm_batched(stations_iq.astype(jnp.complex64), state)
 
@@ -79,16 +78,24 @@ def make_multi_station_step(
                              batch_shape=(n_stations,))
 
     if mesh is not None:
-        st = NamedSharding(mesh, P(STATIONS))
         st3 = NamedSharding(mesh, P(STATIONS, None, None))
         tm = NamedSharding(mesh, P(TIME))
         state_sh = {"deemph_l": NamedSharding(mesh, P(STATIONS, None)),
                     "deemph_r": NamedSharding(mesh, P(STATIONS, None))}
-        step = jax.jit(step,
-                       in_shardings=(tm, state_sh),
-                       out_shardings=(st3, state_sh))
+        band_fft = jax.jit(band_fft, in_shardings=tm)
+        demod = jax.jit(demod, out_shardings=(st3, state_sh))
         state0 = jax.device_put(state0, state_sh)
     else:
-        step = jax.jit(step)
+        band_fft = jax.jit(band_fft)
+        demod = jax.jit(demod)
+
+    def step(band_iq: jnp.ndarray, state: dict):
+        # Two-jit composition ON PURPOSE: keeping the band FFT and the
+        # extraction in one XLA program lets the compiler hand the
+        # extraction a tiled spectrum layout whose relayout costs ~120 ms
+        # on v5e; across a jit boundary the spectrum is canonical and the
+        # whole chain runs in ~19 ms. Dispatch overhead is microseconds
+        # against a 1-second chunk.
+        return demod(band_fft(band_iq), state)
 
     return step, state0
