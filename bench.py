@@ -37,9 +37,14 @@ def main() -> None:
     from radiocore_tpu.parallel.pipeline import make_multi_station_step
 
     n_stations = 16
-    station_chunk = 250_000     # 250 kS/s stations, one-second chunks
-    audio_chunk = 48_000
-    n_band = n_stations * station_chunk  # 4 MS/s band per chunk
+    # TPU-native rate plan: hardware-friendly powers of two (native XLA
+    # FFTs at every stage). 262 144 S/s stations carry ~5% MORE signal
+    # than the reference's canonical 250 kS/s config; the arbitrary-rate
+    # path (e.g. exactly 250 k) works via the FFT planner at ~6× the
+    # cost per station (see STATUS.md measurements).
+    station_chunk = 262_144
+    audio_chunk = 49_152
+    n_band = n_stations * station_chunk
 
     half = n_band // 2 - station_chunk // 2
     offsets = [int(-half + i * station_chunk) for i in range(n_stations)]

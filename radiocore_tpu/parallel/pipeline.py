@@ -70,32 +70,35 @@ def make_multi_station_step(
                 band_iq, NamedSharding(mesh, P()))
         return _fft.fft(band_iq)
 
-    def demod(spectrum: jnp.ndarray, state: dict):
-        stations_iq = extract(spectrum)
+    def wbfm_stage(stations_iq: jnp.ndarray, state: dict):
         return wbfm_batched(stations_iq.astype(jnp.complex64), state)
 
     state0 = wbfm_init_state(audio_chunk, deemphasis,
                              batch_shape=(n_stations,))
 
     if mesh is not None:
+        st2 = NamedSharding(mesh, P(STATIONS, None))
         st3 = NamedSharding(mesh, P(STATIONS, None, None))
         tm = NamedSharding(mesh, P(TIME))
-        state_sh = {"deemph_l": NamedSharding(mesh, P(STATIONS, None)),
-                    "deemph_r": NamedSharding(mesh, P(STATIONS, None))}
+        state_sh = {"deemph_l": st2, "deemph_r": st2}
         band_fft = jax.jit(band_fft, in_shardings=tm)
-        demod = jax.jit(demod, out_shardings=(st3, state_sh))
+        extract_j = jax.jit(extract, out_shardings=st2)
+        wbfm_j = jax.jit(wbfm_stage, out_shardings=(st3, state_sh))
         state0 = jax.device_put(state0, state_sh)
     else:
         band_fft = jax.jit(band_fft)
-        demod = jax.jit(demod)
+        extract_j = jax.jit(extract)
+        wbfm_j = jax.jit(wbfm_stage)
 
     def step(band_iq: jnp.ndarray, state: dict):
-        # Two-jit composition ON PURPOSE: keeping the band FFT and the
-        # extraction in one XLA program lets the compiler hand the
-        # extraction a tiled spectrum layout whose relayout costs ~120 ms
-        # on v5e; across a jit boundary the spectrum is canonical and the
-        # whole chain runs in ~19 ms. Dispatch overhead is microseconds
-        # against a 1-second chunk.
-        return demod(band_fft(band_iq), state)
+        # Per-stage jit composition ON PURPOSE: when a planner-decomposed
+        # (non-native-size) FFT shares an XLA program with the extraction
+        # slices or the demod chain, the compiler propagates tiled
+        # layouts that degrade the slices into gather-like loops
+        # (~129 ms vs ~19 ms for 16×250 kS/s stations on v5e). A jit
+        # boundary pins canonical layouts; dispatch overhead is
+        # microseconds against a 1-second chunk. Native-size (pow2)
+        # plans don't need the split but aren't hurt by it.
+        return wbfm_j(extract_j(band_fft(band_iq)), state)
 
     return step, state0
