@@ -9,6 +9,8 @@ headless.
 """
 
 from radiocore_tpu.apps.iq import (SyntheticFmSource, IQFileSource,
+                                   SoapySdrSource, AudioDeviceSink,
                                    WavSink, write_iq_file)
 
-__all__ = ["SyntheticFmSource", "IQFileSource", "WavSink", "write_iq_file"]
+__all__ = ["SyntheticFmSource", "IQFileSource", "SoapySdrSource",
+           "AudioDeviceSink", "WavSink", "write_iq_file"]

@@ -102,6 +102,96 @@ def write_iq_file(path: str, iq: np.ndarray) -> None:
     np.asarray(iq, dtype=np.complex64).tofile(path)
 
 
+class SoapySdrSource:
+    """Live SDR source via SoapySDR (optional dependency).
+
+    Mirrors the reference's reader thread setup — CF32 RX stream read in
+    64 Ki-sample slabs (reference: ``examples/receive_fm.py:24-64``) —
+    behind the same ``read_chunk`` interface as the synthetic/file
+    sources. Import of SoapySDR happens lazily so headless environments
+    never touch it.
+    """
+
+    def __init__(self, sample_rate: float, frequency: float,
+                 device_args: str = "", agc: bool = True,
+                 slab: int = 65536):
+        import SoapySDR  # noqa: PLC0415 - optional hardware dependency
+        from SoapySDR import SOAPY_SDR_RX, SOAPY_SDR_CF32
+
+        self.sample_rate = int(sample_rate)
+        self._slab = int(slab)
+        self._sdr = SoapySDR.Device(device_args)
+        self._sdr.setSampleRate(SOAPY_SDR_RX, 0, float(sample_rate))
+        self._sdr.setFrequency(SOAPY_SDR_RX, 0, float(frequency))
+        self._sdr.setGainMode(SOAPY_SDR_RX, 0, bool(agc))
+        self._stream = self._sdr.setupStream(SOAPY_SDR_RX, SOAPY_SDR_CF32)
+        self._sdr.activateStream(self._stream)
+
+    def read_chunk(self, seconds: float = 1.0) -> np.ndarray:
+        n = int(self.sample_rate * seconds)
+        out = np.empty(n, np.complex64)
+        staging = np.empty(self._slab, np.complex64)
+        filled = 0
+        while filled < n:
+            status = self._sdr.readStream(self._stream, [staging],
+                                          self._slab)
+            got = status.ret
+            if got <= 0:
+                continue
+            take = min(got, n - filled)
+            out[filled:filled + take] = staging[:take]
+            filled += take
+        return out
+
+    def close(self) -> None:
+        self._sdr.deactivateStream(self._stream)
+        self._sdr.closeStream(self._stream)
+
+
+class AudioDeviceSink:
+    """Live audio output via sounddevice (optional dependency).
+
+    Equivalent of the reference's PortAudio callback with silence on
+    underrun (reference: ``examples/receive_fm.py:122-132``).
+    """
+
+    def __init__(self, sample_rate: int, channels: int = 2):
+        import queue
+        import sounddevice as sd  # noqa: PLC0415 - optional dependency
+
+        self.sample_rate = int(sample_rate)
+        self.channels = int(channels)
+        self._queue = queue.Queue(maxsize=8)
+
+        def callback(outdata, frames, time_info, status):  # noqa: ARG001
+            try:
+                outdata[:] = self._queue.get_nowait()
+            except Exception:
+                outdata[:] = 0.0  # underrun → silence
+
+        self._stream = sd.OutputStream(
+            samplerate=self.sample_rate, channels=self.channels,
+            blocksize=self.sample_rate, callback=callback)
+        self._stream.start()
+
+    def write(self, audio: np.ndarray) -> None:
+        try:
+            self._queue.put_nowait(np.asarray(audio, np.float32)
+                                   .reshape(-1, self.channels))
+        except Exception:
+            pass  # drop on backpressure, like the reference's queue
+
+    def close(self) -> None:
+        self._stream.stop()
+        self._stream.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 class WavSink:
     """Accumulates audio chunks and writes a 16-bit WAV on close."""
 

@@ -92,6 +92,12 @@ def main(argv=None) -> None:
                         help="station frequency (Hz), parity with the "
                              "reference's positional argv")
     parser.add_argument("--iq-file", help="CF32 IQ file to play back")
+    parser.add_argument("--soapy", metavar="DEVICE_ARGS", default=None,
+                        help="use a live SoapySDR device (e.g. "
+                             "'driver=rtlsdr'); requires SoapySDR")
+    parser.add_argument("--play", action="store_true",
+                        help="play audio live via sounddevice instead of "
+                             "writing a WAV")
     parser.add_argument("--input-rate", type=float, default=2.4e6)
     parser.add_argument("--demod-rate", type=float, default=240e3)
     parser.add_argument("--audio-rate", type=float, default=48e3)
@@ -104,17 +110,28 @@ def main(argv=None) -> None:
                     audio_rate=args.audio_rate, frequency=args.frequency,
                     stereo=not args.mono)
 
-    if args.iq_file:
+    if args.soapy is not None:
+        from radiocore_tpu.apps.iq import SoapySdrSource
+        source = SoapySdrSource(config.input_rate, config.frequency,
+                                device_args=args.soapy)
+    elif args.iq_file:
         source = IQFileSource(args.iq_file, int(config.input_rate))
     else:
         source = SyntheticFmSource(int(config.input_rate), [0],
                                    int(config.demod_rate))
 
     metrics = Metrics()
-    with WavSink(args.out, int(config.audio_rate)) as sink:
+    if args.play:
+        from radiocore_tpu.apps.iq import AudioDeviceSink
+        sink_cm = AudioDeviceSink(int(config.audio_rate),
+                                  channels=2 if config.stereo else 1)
+    else:
+        sink_cm = WavSink(args.out, int(config.audio_rate))
+    with sink_cm as sink:
         run(config, source, sink, args.seconds, metrics)
     snap = metrics.snapshot()
-    print(f"wrote {args.out}: {int(snap.get('chunks_out', 0))} s audio, "
+    dest = "audio device" if args.play else args.out
+    print(f"wrote {dest}: {int(snap.get('chunks_out', 0))} s audio, "
           f"realtime x{snap.get('realtime_factor', 0):.2f}")
 
 
