@@ -36,12 +36,13 @@ def main() -> None:
     import jax.numpy as jnp
     from radiocore_tpu.parallel.pipeline import make_multi_station_step
 
-    n_stations = 16
+    n_stations = 64
     # TPU-native rate plan: hardware-friendly powers of two (native XLA
     # FFTs at every stage). 262 144 S/s stations carry ~5% MORE signal
     # than the reference's canonical 250 kS/s config; the arbitrary-rate
     # path (e.g. exactly 250 k) works via the FFT planner at ~6× the
-    # cost per station (see STATUS.md measurements).
+    # cost per station (see STATUS.md measurements). 64 stations
+    # amortize the band FFT/extraction fixed costs (16.8 MS/s band).
     station_chunk = 262_144
     audio_chunk = 49_152
     n_band = n_stations * station_chunk

@@ -52,18 +52,21 @@ def taps_to_band_matrices(taps: np.ndarray) -> np.ndarray:
     return m
 
 
-def _fir_kernel(x_hbm, m_ref, o_ref, x_vmem, sem, *, block_rows, n_halo):
+def _fir_kernel(x_hbm, m_ref, o_ref, x_vmem, sem, *, block_rows, n_halo,
+                halo_pad):
     b = pl.program_id(0)
     i = pl.program_id(1)
-    # DMA the overlapping (block_rows + n_halo, 128) slice into VMEM.
+    # DMA the overlapping (block_rows + halo_pad, 128) slice into VMEM.
+    # halo_pad is n_halo rounded up to the sublane tile (8 rows) so the
+    # DMA shape stays tile-aligned.
     copy = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * block_rows, block_rows + n_halo), :],
+        x_hbm.at[b, pl.ds(i * block_rows, block_rows + halo_pad), :],
         x_vmem, sem)
     copy.start()
     copy.wait()
     acc = jnp.zeros((block_rows, LANES), dtype=jnp.float32)
     for h in range(n_halo + 1):
-        rows = x_vmem[pl.ds(n_halo - h, block_rows), :]
+        rows = x_vmem[pl.ds(halo_pad - h, block_rows), :]
         acc = acc + jnp.dot(rows, m_ref[h], preferred_element_type=jnp.float32)
     o_ref[0, :, :] = acc
 
@@ -96,17 +99,23 @@ def _batched_call(block_rows: int):
     return call
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 @functools.partial(jax.jit, static_argnames=("block_rows",))
 def _fir_blocks(x_ext: jnp.ndarray, mats: jnp.ndarray,
                 block_rows: int) -> jnp.ndarray:
-    """x_ext: (batch, rows + n_halo, 128) with halo/history rows on top."""
+    """x_ext: (batch, rows + halo_pad, 128) with halo/history rows on top."""
     batch, ext_rows, _ = x_ext.shape
     n_halo = mats.shape[0] - 1
-    rows = ext_rows - n_halo
+    halo_pad = _round_up(max(n_halo, 1), 8)  # sublane-aligned DMA shapes
+    rows = ext_rows - halo_pad
     n_blocks = rows // block_rows
     grid = (batch, n_blocks)
     return pl.pallas_call(
-        functools.partial(_fir_kernel, block_rows=block_rows, n_halo=n_halo),
+        functools.partial(_fir_kernel, block_rows=block_rows, n_halo=n_halo,
+                          halo_pad=halo_pad),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # whole x_ext in HBM
@@ -119,7 +128,7 @@ def _fir_blocks(x_ext: jnp.ndarray, mats: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, rows, LANES), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((block_rows + n_halo, LANES), jnp.float32),
+            pltpu.VMEM((block_rows + halo_pad, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=not has_tpu(),
@@ -137,14 +146,15 @@ def fir_causal_pallas(x: jnp.ndarray, taps,
     """
     mats = jnp.asarray(taps_to_band_matrices(np.asarray(taps)))
     n_halo = int(mats.shape[0]) - 1
-    t_hist = n_halo * LANES
+    halo_pad = _round_up(max(n_halo, 1), 8)
+    t_hist = halo_pad * LANES
 
     lead = x.shape[:-1]
     n = x.shape[-1]
     x2 = x.reshape((-1, n)).astype(jnp.float32)
     batch = x2.shape[0]
 
-    # History occupies the tail of the halo rows.
+    # History occupies the tail of the (tile-aligned) halo rows.
     halo = jnp.zeros((batch, t_hist), jnp.float32)
     if history is not None:
         h = history.reshape((batch, -1)).astype(jnp.float32)
