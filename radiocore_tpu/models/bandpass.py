@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from radiocore_tpu.ops import design
 from radiocore_tpu.ops.fir import zero_phase_fir
+from radiocore_tpu.runtime.transfer import to_device_c64, to_device_f32
 
 
 class Bandpass:
@@ -39,5 +40,8 @@ class Bandpass:
     def run(self, input_sig):
         if len(input_sig) != self._input_size:
             raise ValueError("input_sig size and input_size mismatch")
-        x = jnp.asarray(input_sig, dtype=self._dtype)
+        if jnp.issubdtype(jnp.dtype(self._dtype), jnp.complexfloating):
+            x = to_device_c64(input_sig).astype(self._dtype)
+        else:
+            x = to_device_f32(input_sig).astype(self._dtype)
         return self._run(x)

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from radiocore_tpu.ops import design
 from radiocore_tpu.ops.resample import resample_fft
-from radiocore_tpu.runtime.transfer import to_device_c64
+from radiocore_tpu.runtime.transfer import to_device_c64, to_device_f32
 
 
 class Decimate:
@@ -37,5 +37,5 @@ class Decimate:
                     and jnp.iscomplexobj(input_sig))):
             x = to_device_c64(input_sig)
         else:
-            x = jnp.asarray(input_sig).astype(jnp.float32)
+            x = to_device_f32(input_sig)
         return self._run(x)

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from radiocore_tpu.ops.deemphasis import deemphasis_init, deemphasis_apply
+from radiocore_tpu.runtime.transfer import to_device_f32
 
 
 class Deemphasis:
@@ -29,6 +30,6 @@ class Deemphasis:
     def run(self, input_sig):
         if len(input_sig) != self._input_size:
             raise ValueError("input_sig size and input_size mismatch")
-        x = jnp.asarray(input_sig, dtype=self._dtype)
+        x = to_device_f32(input_sig).astype(self._dtype)
         y, self._state = self._run(x, self._state)
         return y

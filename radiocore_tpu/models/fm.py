@@ -15,7 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from radiocore_tpu.runtime.transfer import to_device_c64
+from radiocore_tpu.runtime.transfer import to_device_c64, to_host
 
 from radiocore_tpu.ops import design
 from radiocore_tpu.ops.resample import resample_fft
@@ -59,4 +59,4 @@ class FM:
             raise ValueError("input_sig size and input_size mismatch")
         iq = to_device_c64(input_sig)
         audio = self._step(iq)[:, None]
-        return np.asarray(audio) if numpy_output else audio
+        return to_host(audio) if numpy_output else audio

@@ -12,7 +12,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from radiocore_tpu.runtime.transfer import to_device_c64
+from radiocore_tpu.runtime.transfer import to_device_c64, to_host
 
 from radiocore_tpu.models.fm import make_fm_step
 from radiocore_tpu.ops.deemphasis import deemphasis_init, deemphasis_apply
@@ -66,4 +66,4 @@ class MFM:
         iq = to_device_c64(input_sig)
         audio, self._state = self._step(iq, self._state)
         audio = audio[:, None]
-        return np.asarray(audio) if numpy_output else audio
+        return to_host(audio) if numpy_output else audio

@@ -11,6 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from radiocore_tpu.runtime.transfer import to_device_c64, to_device_f32
+
 from radiocore_tpu.ops.analytic import analytic_signal, pll_harmonic
 
 
@@ -21,7 +23,11 @@ class PLL:
         self._analytic = jax.jit(analytic_signal)
 
     def step(self, input_sig) -> None:
-        x = jnp.asarray(input_sig)
+        x = (to_device_c64(input_sig)
+             if (hasattr(input_sig, 'dtype')
+                 and jnp.issubdtype(jnp.dtype(input_sig.dtype),
+                                    jnp.complexfloating))
+             else to_device_f32(input_sig))
         self._baseline = self._analytic(x)
 
     def real(self, mult: float = 1.0) -> jnp.ndarray:

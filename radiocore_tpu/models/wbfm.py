@@ -32,7 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from radiocore_tpu.runtime.transfer import to_device_c64
+from radiocore_tpu.runtime.transfer import to_device_c64, to_host
 
 from radiocore_tpu.ops import design
 from radiocore_tpu.ops.resample import resample_fft
@@ -186,4 +186,4 @@ class WBFM:
             raise ValueError("input_sig size and input_size mismatch")
         iq = to_device_c64(input_sig)
         audio, self._state = self._step(iq, self._state)
-        return np.asarray(audio) if numpy_output else audio
+        return to_host(audio) if numpy_output else audio

@@ -67,7 +67,10 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     No-op when JAX is already initialized or when running single-process
     with no coordinator configured.
     """
-    if jax.process_count() > 1:
+    # NOTE: must not touch the backend (jax.devices/process_count) before
+    # jax.distributed.initialize — backend init would pin a single-process
+    # world. is_initialized() is a pure runtime-state check.
+    if jax.distributed.is_initialized():
         return  # already initialized
     kwargs = {}
     if coordinator_address is not None:

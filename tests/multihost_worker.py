@@ -1,0 +1,106 @@
+"""Worker process for the real multi-process distributed test.
+
+Launched by ``tests/test_multihost.py`` (2 processes x 4 virtual CPU
+devices = 8 global devices). Exercises the config-5 path from
+BASELINE.md: a global ``(stations, time)`` mesh spanning PROCESS
+boundaries, the fused channelize+WBFM step jitted over it, and the
+ppermute halo-exchange FIR whose neighbors live in the other process —
+i.e. collectives that actually cross the distributed runtime, not just
+an intra-process virtual mesh.
+
+The reference has no multi-process runtime at all (its inter-process
+transport is ZeroMQ PUB/SUB, reference ``examples/multi_fm_server.py:
+116-120``); this is the TPU-native replacement (SURVEY.md §2.5).
+
+argv: <process_id> <num_processes> <coordinator_address> <local_devices>
+Prints one line ``CHECKSUM <mean-abs-audio> HALO <mean-abs-fir>`` on
+success; asserts otherwise.
+"""
+
+import os
+import sys
+
+
+def main() -> None:
+    pid = int(sys.argv[1])
+    nprocs = int(sys.argv[2])
+    coord = sys.argv[3]
+    local = int(sys.argv[4])
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={local}"
+        ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from radiocore_tpu.runtime.platform import (initialize_multihost,
+                                                platform_summary)
+
+    initialize_multihost(coordinator_address=coord,
+                         num_processes=nprocs, process_id=pid)
+
+    summary = platform_summary()
+    assert summary["process_count"] == nprocs, summary
+    assert jax.device_count() == nprocs * local, jax.device_count()
+    assert jax.local_device_count() == local
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from radiocore_tpu.parallel.mesh import make_radio_mesh, TIME
+    from radiocore_tpu.parallel.pipeline import make_multi_station_step
+    from radiocore_tpu.parallel.halo import zero_phase_fir_sharded
+
+    # Global mesh: time axis = nprocs so ppermute neighbors straddle the
+    # process boundary; stations axis takes the rest.
+    mesh = make_radio_mesh(time=nprocs)
+    n_stations = mesh.shape["stations"]
+
+    station_chunk = 50_000
+    audio_chunk = 10_000
+    n_band = n_stations * station_chunk
+    half = n_band // 2 - station_chunk // 2
+    offsets = [int(-half + i * station_chunk) for i in range(n_stations)]
+
+    step, state = make_multi_station_step(
+        n_band, offsets, station_chunk, audio_chunk, mesh=mesh)
+
+    @jax.jit
+    def _band(key):
+        planes = 0.1 * jax.random.normal(key, (2, n_band), jnp.float32)
+        return jax.lax.complex(planes[0], planes[1])
+
+    make_band = jax.jit(_band, out_shardings=NamedSharding(mesh, P(TIME)))
+    band = make_band(jax.random.key(7))
+
+    audio, state = step(band, state)
+    # Second chunk: streaming state (deemphasis tails) crosses steps while
+    # sharded across processes.
+    audio, state = step(band, state)
+
+    checksum = jax.jit(lambda a: jnp.mean(jnp.abs(a)),
+                       out_shardings=NamedSharding(mesh, P()))(audio)
+    checksum = float(checksum)  # fully replicated -> addressable everywhere
+
+    # Halo-exchange zero-phase FIR over the cross-process time axis.
+    from scipy import signal as sig
+    taps = np.asarray(sig.firwin(33, 0.25), np.float32)
+    n = nprocs * local * 4096
+    x = jax.jit(
+        lambda: jnp.sin(jnp.arange(n, dtype=jnp.float32) * 0.01),
+        out_shardings=NamedSharding(mesh, P(TIME)))()
+    y = zero_phase_fir_sharded(x, taps, mesh)
+    halo_sum = jax.jit(lambda a: jnp.mean(jnp.abs(a)),
+                       out_shardings=NamedSharding(mesh, P()))(y)
+    halo_sum = float(halo_sum)
+
+    print(f"CHECKSUM {checksum:.10e} HALO {halo_sum:.10e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
