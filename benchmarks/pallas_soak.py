@@ -1,0 +1,130 @@
+"""Pallas MXU FIR hardware soak: correctness + throughput on real TPU.
+
+Transfer-free: signals are synthesized on device, the Pallas kernel
+(kernels/fir_pallas.py) is compared against the XLA-conv reference on
+device, and only scalar max-abs-errors / timings reach the host.
+
+    python benchmarks/pallas_soak.py [--quick]
+
+Prints one JSON line per case and a final PASS/FAIL verdict; exits
+non-zero on failure. On CPU the kernel runs in interpret mode (slow) —
+use --quick there.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--quick", action="store_true",
+                        help="small shapes only (CPU/interpret mode)")
+    parser.add_argument("--iters", type=int, default=20)
+    args = parser.parse_args(argv)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from scipy import signal as sig
+
+    from radiocore_tpu.ops.fir import fir_causal
+    from radiocore_tpu.kernels.fir_pallas import fir_causal_pallas
+
+    v = jax.jit(lambda v: v + 1)(jnp.ones(8))
+    jax.block_until_ready(v)
+    print(json.dumps({"backend": str(jax.devices()[0])}), flush=True)
+
+    ok = True
+
+    # ---- correctness sweep ------------------------------------------------
+    if args.quick:
+        cases = [(1, 32_768, 41), (4, 32_768, 129)]
+    else:
+        cases = [
+            (1, 262_144, 41),     # WBFM pilot-bandpass shape
+            (1, 262_144, 51),     # de-emphasis FIR shape
+            (16, 262_144, 129),   # batched stations
+            (1, 1_048_576, 257),  # long signal, 2 halo rows
+            (64, 262_144, 129),   # bench-scale batch
+        ]
+
+    def make_x(batch, n, key):
+        return jax.jit(lambda k: jax.random.normal(
+            k, (batch, n), jnp.float32))(key)
+
+    for batch, n, taps_n in cases:
+        taps = sig.firwin(taps_n, 0.25).astype(np.float32)
+        x = make_x(batch, n, jax.random.key(batch * taps_n))
+        hist = jax.jit(lambda k: 0.1 * jax.random.normal(
+            k, (batch, taps_n - 1), jnp.float32))(jax.random.key(99))
+
+        @jax.jit
+        def diff(x, hist, _t=taps):
+            a = fir_causal_pallas(x, _t, history=hist)
+            b = fir_causal(x, _t, history=hist, impl="conv")
+            return jnp.max(jnp.abs(a - b)), jnp.max(jnp.abs(b))
+
+        err, ref = (float(s) for s in diff(x, hist))
+        rel = err / max(ref, 1e-30)
+        good = rel < 1e-4
+        ok &= good
+        print(json.dumps({"case": f"correctness b={batch} n={n} t={taps_n}",
+                          "max_rel_err": f"{rel:.2e}", "ok": good}),
+              flush=True)
+
+    # ---- vmap-composition check (the WBFM-step integration path) ---------
+    taps = sig.firwin(41, 0.3).astype(np.float32)
+    xs = make_x(8, 65_536, jax.random.key(3))
+
+    @jax.jit
+    def vmapped_diff(xs):
+        a = jax.vmap(lambda x: fir_causal_pallas(x[None], taps)[0])(xs)
+        b = fir_causal(xs, taps, impl="conv")
+        return jnp.max(jnp.abs(a - b)), jnp.max(jnp.abs(b))
+
+    err, ref = (float(s) for s in vmapped_diff(xs))
+    rel = err / max(ref, 1e-30)
+    good = rel < 1e-4
+    ok &= good
+    print(json.dumps({"case": "vmap composition", "max_rel_err": f"{rel:.2e}",
+                      "ok": good}), flush=True)
+
+    # ---- throughput: pallas vs conv ---------------------------------------
+    if not args.quick:
+        batch, n, taps_n = 64, 262_144, 129
+        taps = sig.firwin(taps_n, 0.25).astype(np.float32)
+        x = make_x(batch, n, jax.random.key(0))
+        results = {}
+        for name, fn in (
+                ("pallas", jax.jit(lambda x: fir_causal_pallas(x, taps))),
+                ("conv", jax.jit(lambda x: fir_causal(
+                    x, taps, impl="conv")))):
+            y = fn(x)
+            jax.block_until_ready(y)
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                y = fn(x)
+            jax.block_until_ready(y)
+            dt = (time.perf_counter() - t0) / args.iters
+            msps = batch * n / dt / 1e6
+            # float32 in+out: 8 bytes/sample minimum HBM traffic.
+            gbps = batch * n * 8 / dt / 1e9
+            results[name] = msps
+            print(json.dumps({"case": f"throughput {name}",
+                              "msamples_per_s": round(msps, 1),
+                              "min_hbm_gb_per_s": round(gbps, 1),
+                              "sec_per_call": round(dt, 5)}), flush=True)
+        print(json.dumps({"case": "speedup pallas/conv",
+                          "value": round(results["pallas"]
+                                         / results["conv"], 2)}), flush=True)
+
+    print(json.dumps({"soak": "PASS" if ok else "FAIL"}), flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
