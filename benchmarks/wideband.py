@@ -50,18 +50,23 @@ def main(argv=None) -> None:
     hist = pfb_init(m, args.taps_per_branch)
 
     if args.time_shards > 0:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        # Sequence-parallel form: per-shard FFTs + halo ppermute only —
+        # no full-band gather (parallel/halo.py).
+        from jax.sharding import PartitionSpec as P
         from radiocore_tpu.parallel.mesh import make_radio_mesh, TIME
+        from radiocore_tpu.parallel.halo import (fir_overlap_save_halo,
+                                                 pfb_channelize_halo)
         mesh = make_radio_mesh(stations=1, time=args.time_shards,
                                devices=jax.devices()[:args.time_shards])
-        sh = NamedSharding(mesh, P(None, TIME))
 
-        @jax.jit
-        def step(band, h):
-            band = fir_overlap_save(band, fir)
-            return pfb_channelize(band, taps, m, history=h)
-        step = jax.jit(step, in_shardings=(NamedSharding(mesh, P(TIME)),
-                                           NamedSharding(mesh, P())))
+        def local(band, h):
+            band, _ = fir_overlap_save_halo(band, fir, TIME)
+            return pfb_channelize_halo(band, taps, m, TIME,
+                                       stream_history=h)
+
+        step = jax.jit(jax.shard_map(
+            local, mesh=mesh, in_specs=(P(TIME), P()),
+            out_specs=(P(TIME, None), P())))
     else:
         @jax.jit
         def step(band, h):

@@ -23,7 +23,9 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from radiocore_tpu.ops.fir import fir_causal, zero_phase_fir, _corr_valid
+from radiocore_tpu.ops.fir import (fir_causal, fir_overlap_save,
+                                   zero_phase_fir, _corr_valid)
+from radiocore_tpu.ops.pfb import pfb_channelize
 
 
 def _shift_right(block_tail: jnp.ndarray, axis_name: str) -> jnp.ndarray:
@@ -88,6 +90,64 @@ def zero_phase_fir_halo(x: jnp.ndarray, taps: np.ndarray,
     # Backward pass (anti-causal): right halo, correlate un-flipped.
     ext2 = halo_exchange(fwd, 0, t - 1, axis_name)
     return _corr_valid(ext2, kernel)
+
+
+def _history_or_left_halo(x: jnp.ndarray, t_hist: int,
+                          stream_history: Optional[jnp.ndarray],
+                          axis_name: str) -> jnp.ndarray:
+    """Left-neighbor tail for every shard; shard 0 gets the stream state."""
+    left = _shift_right(x[..., -t_hist:], axis_name)
+    if stream_history is None:
+        return left
+    idx = lax.axis_index(axis_name)
+    return jnp.where(idx == 0, stream_history.astype(x.dtype), left)
+
+
+def _last_shard_tail(x: jnp.ndarray, t_hist: int,
+                     axis_name: str) -> jnp.ndarray:
+    """The global tail (= last shard's tail), replicated to every shard."""
+    idx = lax.axis_index(axis_name)
+    n = lax.axis_size(axis_name)
+    tail = jnp.where(idx == n - 1, x[..., -t_hist:], 0)
+    return lax.psum(tail, axis_name)
+
+
+def fir_overlap_save_halo(x: jnp.ndarray, taps: np.ndarray, axis_name: str,
+                          stream_history: Optional[jnp.ndarray] = None,
+                          block: int = 1 << 15):
+    """Streaming overlap-save FIR on a time-sharded block (in shard_map).
+
+    Each shard filters its local block with per-shard FFTs (no gather —
+    the sequence-parallel form of BASELINE.md config 4's wideband FIR);
+    the only collectives are the tap-length halo ppermute and a tiny
+    psum for the carried stream state. Returns ``(y, new_history)``
+    matching :func:`~radiocore_tpu.ops.fir.fir_overlap_save` exactly.
+    """
+    t = len(np.asarray(taps))
+    hist = _history_or_left_halo(x, t - 1, stream_history, axis_name)
+    y = fir_overlap_save(x, taps, history=hist, block=block)
+    return y, _last_shard_tail(x, t - 1, axis_name)
+
+
+def pfb_channelize_halo(x: jnp.ndarray, taps: np.ndarray, n_channels: int,
+                        axis_name: str,
+                        stream_history: Optional[jnp.ndarray] = None):
+    """Streaming PFB channelizer on a time-sharded band (in shard_map).
+
+    The PFB's streaming state is the trailing ``(P−1)·M`` input samples
+    (ops/pfb.py), so sequence parallelism is a pure halo problem: each
+    shard channelizes its local block with the left neighbor's tail as
+    history. Frames never straddle shards when the local block length
+    divides by ``n_channels``. Output frame axis stays time-sharded.
+    """
+    m = int(n_channels)
+    p = len(np.asarray(taps)) // m
+    t_hist = (p - 1) * m
+    if x.shape[-1] % m:
+        raise ValueError("local block must divide by n_channels")
+    hist = _history_or_left_halo(x, t_hist, stream_history, axis_name)
+    channels, _ = pfb_channelize(x, taps, m, history=hist)
+    return channels, _last_shard_tail(x, t_hist, axis_name)
 
 
 def fir_causal_sharded(x: jnp.ndarray, taps: np.ndarray, mesh: Mesh,
