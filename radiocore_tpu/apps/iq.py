@@ -74,13 +74,55 @@ class SyntheticFmSource:
         return (band / max(len(self.offsets_hz), 1)).astype(np.complex64)
 
 
-class IQFileSource:
-    """Streams complex64 IQ chunks from a raw CF32 file (looping)."""
+# Raw SDR wire formats: interleaved IQ scalars. cu8 = RTL-SDR offset
+# binary, cs8 = HackRF, cs16 = USRP/SDRplay/Airspy, cf32 = interchange.
+IQ_FORMATS = ("cf32", "cu8", "cs8", "cs16")
+_WIRE_DTYPE = {"cu8": np.uint8, "cs8": np.int8, "cs16": np.int16}
 
-    def __init__(self, path: str, sample_rate: int):
+
+def convert_iq(raw: np.ndarray, fmt: str) -> np.ndarray:
+    """Interleaved fixed-point IQ scalars → complex64.
+
+    Hot host path at stream rate (2 scalars per sample at up to
+    61.44 MS/s); dispatches to the native C++ kernels
+    (native/iqconvert.cpp) when built, NumPy otherwise.
+    """
+    if fmt == "cf32":
+        return np.ascontiguousarray(raw).view(np.complex64)
+    if fmt not in _WIRE_DTYPE:
+        raise ValueError(f"unknown IQ format {fmt!r}; one of {IQ_FORMATS}")
+    from radiocore_tpu.native.build import iq_convert_native
+    f32 = iq_convert_native(raw, fmt)
+    if f32 is None:  # no C++ toolchain: NumPy fallback, same math
+        if fmt == "cu8":
+            f32 = (raw.astype(np.float32) - 127.5) * (1.0 / 127.5)
+        elif fmt == "cs8":
+            f32 = raw.astype(np.float32) * (1.0 / 128.0)
+        else:
+            f32 = raw.astype(np.float32) * (1.0 / 32768.0)
+    return f32.view(np.complex64)
+
+
+class IQFileSource:
+    """Streams complex64 IQ chunks from a raw IQ file (looping).
+
+    ``fmt`` selects the wire format (see ``IQ_FORMATS``); fixed-point
+    formats are converted through the native C++ data-loader path.
+    """
+
+    def __init__(self, path: str, sample_rate: int, fmt: str = "cf32"):
+        if fmt not in IQ_FORMATS:
+            raise ValueError(f"unknown IQ format {fmt!r}; one of {IQ_FORMATS}")
         self.path = path
         self.sample_rate = int(sample_rate)
-        self._data = np.fromfile(path, dtype=np.complex64)
+        self.fmt = fmt
+        wire = np.fromfile(path, dtype=_WIRE_DTYPE.get(fmt, np.complex64))
+        if fmt != "cf32":
+            if len(wire) % 2:
+                wire = wire[:-1]  # drop trailing unpaired scalar
+            self._data = convert_iq(wire, fmt)
+        else:
+            self._data = wire
         if len(self._data) == 0:
             raise ValueError(f"empty IQ file: {path}")
         self._pos = 0
@@ -97,9 +139,21 @@ class IQFileSource:
         return out
 
 
-def write_iq_file(path: str, iq: np.ndarray) -> None:
-    """Write complex64 IQ samples as raw CF32 (SDR interchange format)."""
-    np.asarray(iq, dtype=np.complex64).tofile(path)
+def write_iq_file(path: str, iq: np.ndarray, fmt: str = "cf32") -> None:
+    """Write complex64 IQ samples as raw CF32 or CS16 (recording path)."""
+    iq = np.asarray(iq, dtype=np.complex64)
+    if fmt == "cf32":
+        iq.tofile(path)
+        return
+    if fmt != "cs16":
+        raise ValueError(f"unsupported recording format {fmt!r}")
+    scalars = iq.view(np.float32)
+    from radiocore_tpu.native.build import iq_f32_to_s16_native
+    pcm = iq_f32_to_s16_native(scalars)
+    if pcm is None:
+        pcm = np.clip(np.round(scalars * 32767.0),
+                      -32768, 32767).astype(np.int16)
+    pcm.tofile(path)
 
 
 class SoapySdrSource:

@@ -1,4 +1,4 @@
-"""On-demand compilation + ctypes binding of the native ring buffer."""
+"""On-demand compilation + ctypes binding of the native components."""
 
 from __future__ import annotations
 
@@ -9,19 +9,23 @@ import subprocess
 import tempfile
 from typing import Optional
 
-_SRC = os.path.join(os.path.dirname(__file__), "ringbuffer.cpp")
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "ringbuffer.cpp")
+_IQ_SRC = os.path.join(_HERE, "iqconvert.cpp")
+
+
+def _cache_dir() -> str:
+    return os.environ.get("RADIOCORE_TPU_CACHE",
+                          os.path.expanduser("~/.cache/radiocore_tpu"))
 
 
 def _lib_path() -> str:
-    base = os.environ.get("RADIOCORE_TPU_CACHE",
-                          os.path.expanduser("~/.cache/radiocore_tpu"))
-    return os.path.join(base, "libradiocore_ring.so")
+    return os.path.join(_cache_dir(), "libradiocore_ring.so")
 
 
-def _build() -> Optional[str]:
-    path = _lib_path()
+def _compile(src: str, path: str) -> Optional[str]:
     if (os.path.exists(path)
-            and os.path.getmtime(path) >= os.path.getmtime(_SRC)):
+            and os.path.getmtime(path) >= os.path.getmtime(src)):
         return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
     for cxx in ("g++", "c++", "clang++"):
@@ -33,7 +37,7 @@ def _build() -> Optional[str]:
             os.close(fd)
             subprocess.run(
                 [cxx, "-O3", "-std=c++17", "-shared", "-fPIC",
-                 _SRC, "-o", tmp],
+                 src, "-o", tmp],
                 check=True, capture_output=True, timeout=120)
             os.replace(tmp, path)
             return path
@@ -44,6 +48,10 @@ def _build() -> Optional[str]:
                 pass
             continue
     return None
+
+
+def _build() -> Optional[str]:
+    return _compile(_SRC, _lib_path())
 
 
 @functools.lru_cache(maxsize=1)
@@ -119,3 +127,77 @@ class NativeRing:
 
 def load_native_ring(capacity_bytes: int) -> NativeRing:
     return NativeRing(capacity_bytes)
+
+
+# ---------------------------------------------------------------------------
+# IQ sample-format conversion (iqconvert.cpp)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=1)
+def _load_iq() -> Optional[ctypes.CDLL]:
+    path = _compile(_IQ_SRC, os.path.join(_cache_dir(),
+                                          "libradiocore_iq.so"))
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    for name, src_t in (("rc_iq_u8_to_f32", ctypes.c_uint8),
+                        ("rc_iq_s8_to_f32", ctypes.c_int8),
+                        ("rc_iq_s16_to_f32", ctypes.c_int16)):
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = [ctypes.POINTER(src_t), ctypes.POINTER(ctypes.c_float),
+                       ctypes.c_size_t]
+    lib.rc_iq_f32_to_s16.restype = None
+    lib.rc_iq_f32_to_s16.argtypes = [ctypes.POINTER(ctypes.c_float),
+                                     ctypes.POINTER(ctypes.c_int16),
+                                     ctypes.c_size_t]
+    return lib
+
+
+def iq_native_available() -> bool:
+    """True when the native IQ converter compiled and loaded."""
+    return _load_iq() is not None
+
+
+def iq_convert_native(raw, fmt: str):
+    """Convert raw interleaved IQ scalars to float32 via the C++ kernels.
+
+    ``raw`` is a 1-D NumPy array of the wire dtype (u8/s8/s16); returns a
+    float32 array of the same length, or None when the native library is
+    unavailable (caller falls back to NumPy).
+    """
+    import numpy as np
+
+    lib = _load_iq()
+    if lib is None:
+        return None
+    fns = {"cu8": ("rc_iq_u8_to_f32", ctypes.c_uint8),
+           "cs8": ("rc_iq_s8_to_f32", ctypes.c_int8),
+           "cs16": ("rc_iq_s16_to_f32", ctypes.c_int16)}
+    name, src_t = fns[fmt]
+    raw = np.ascontiguousarray(raw)
+    out = np.empty(raw.shape, np.float32)
+    getattr(lib, name)(
+        raw.ctypes.data_as(ctypes.POINTER(src_t)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        raw.size)
+    return out
+
+
+def iq_f32_to_s16_native(f32):
+    """float32 → int16 quantize (recording path); None if unavailable."""
+    import numpy as np
+
+    lib = _load_iq()
+    if lib is None:
+        return None
+    f32 = np.ascontiguousarray(f32, np.float32)
+    out = np.empty(f32.shape, np.int16)
+    lib.rc_iq_f32_to_s16(
+        f32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        f32.size)
+    return out

@@ -114,3 +114,67 @@ def test_zmq_pub_sub_loopback(tmp_path):
     assert result["got"] == 2
     rate, audio = wavfile.read(out)
     assert rate == 10_000 and audio.shape == (20_000, 2)
+
+
+class TestIqFormats:
+    """Native C++ IQ converter (native/iqconvert.cpp) vs NumPy math."""
+
+    def test_convert_matches_numpy(self):
+        from radiocore_tpu.apps.iq import convert_iq
+        rng = np.random.default_rng(7)
+        cases = [
+            ("cu8", rng.integers(0, 256, 4096).astype(np.uint8),
+             lambda r: (r.astype(np.float32) - 127.5) / 127.5),
+            ("cs8", rng.integers(-128, 128, 4096).astype(np.int8),
+             lambda r: r.astype(np.float32) / 128.0),
+            ("cs16", rng.integers(-32768, 32768, 4096).astype(np.int16),
+             lambda r: r.astype(np.float32) / 32768.0),
+        ]
+        for fmt, raw, oracle in cases:
+            got = convert_iq(raw, fmt)
+            want = oracle(raw).view(np.complex64)
+            assert got.dtype == np.complex64
+            # 1 ULP: the native kernel multiplies by the reciprocal.
+            np.testing.assert_allclose(got.view(np.float32),
+                                       want.view(np.float32),
+                                       rtol=1.2e-7, atol=0), fmt
+
+    def test_native_path_is_used_when_available(self):
+        from radiocore_tpu.native.build import (iq_convert_native,
+                                                iq_native_available)
+        if not iq_native_available():
+            pytest.skip("no C++ toolchain")
+        raw = np.arange(0, 256, dtype=np.uint8)
+        f32 = iq_convert_native(raw, "cu8")
+        np.testing.assert_allclose(
+            f32, (raw.astype(np.float32) - 127.5) / 127.5,
+            rtol=1.2e-7, atol=0)
+
+    def test_file_source_fixed_point(self, tmp_path):
+        from radiocore_tpu.apps.iq import IQFileSource
+        rng = np.random.default_rng(3)
+        wire = rng.integers(-32768, 32768, 800).astype(np.int16)
+        path = tmp_path / "capture.cs16"
+        wire.tofile(path)
+        src = IQFileSource(str(path), 400, fmt="cs16")
+        chunk = src.read_chunk(1.0)
+        want = (wire.astype(np.float32) / 32768.0).view(np.complex64)
+        np.testing.assert_array_equal(chunk, want)
+
+    def test_cs16_recording_roundtrip(self, tmp_path):
+        from radiocore_tpu.apps.iq import IQFileSource
+        iq = (np.linspace(-0.9, 0.9, 256)
+              + 1j * np.linspace(0.9, -0.9, 256)).astype(np.complex64)
+        path = tmp_path / "rec.cs16"
+        write_iq_file(str(path), iq, fmt="cs16")
+        back = IQFileSource(str(path), 256, fmt="cs16").read_chunk(1.0)
+        # scale skew (32767 enc / 32768 dec) + 0.5 LSB rounding
+        np.testing.assert_allclose(back.view(np.float32),
+                                   iq.view(np.float32), atol=1.5 / 32768)
+
+    def test_unknown_format_rejected(self, tmp_path):
+        from radiocore_tpu.apps.iq import IQFileSource
+        path = tmp_path / "x.bin"
+        np.zeros(4, np.int16).tofile(path)
+        with pytest.raises(ValueError, match="unknown IQ format"):
+            IQFileSource(str(path), 2, fmt="cs32")
