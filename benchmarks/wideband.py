@@ -87,14 +87,32 @@ def main(argv=None) -> None:
     dt = (time.perf_counter() - t0) / args.iters
 
     msps = n / dt / 1e6
-    print(json.dumps({
+
+    # HBM speed-of-light fraction (BASELINE.md: "FIR + FFT kernel
+    # throughput ~HBM-bandwidth"). Minimum HBM traffic for the fused
+    # step, assuming perfect on-chip reuse of taps/twiddles:
+    #   overlap-save FIR: read band + write band           (2 c64 / sample)
+    #   PFB polyphase conv + M-FFT: read band + write chans (2 c64 / sample)
+    # c64 = 8 bytes. XLA's actual traffic is higher (FFT stages
+    # materialize intermediates), so this is a conservative lower bound —
+    # the fraction understates true HBM utilization.
+    hbm_peak = {"TPU v5 lite": 819e9}  # v5e: 819 GB/s per chip
+    dev = str(jax.devices()[0])
+    peak = next((v for k, v in hbm_peak.items() if k in dev), None)
+    min_bytes = 4 * n * 8
+    result = {
         "metric": "wideband_fir_pfb_msamples_per_s",
         "value": round(msps, 1),
         "unit": "Msps",
         "band_rate_msps": args.band_rate / 1e6,
         "realtime_factor": round(msps * 1e6 / args.band_rate, 2),
         "channels": m,
-    }))
+        "min_hbm_gbytes_per_s": round(min_bytes / dt / 1e9, 1),
+    }
+    if peak:
+        result["hbm_speed_of_light_fraction"] = round(
+            min_bytes / dt / peak, 3)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
