@@ -70,11 +70,14 @@ def make_wbfm_step(input_size: int, output_size: int,
     tests assert >40 dB match). ``mode='fast'`` computes the same
     pipeline with spectra reused across stages — the composite spectrum
     from the demod resample feeds the pilot's analytic signal directly
-    (zero-phase bandpass applied as |B(ω)|² in frequency) and the stereo
-    matrix is decimated by linearity with one extra rfft — roughly
-    halving the large-transform count. It differs from the reference
-    only in FIR edge handling (circular vs odd-extension), far inside
-    the 1 dB SNR acceptance bound (BASELINE.md); asserted by test.
+    (zero-phase bandpass applied as |B(ω)|² in frequency), the 38 kHz
+    subcarrier is synthesized from a narrowband pilot-slice envelope
+    (small IFFT + interpolated unit phasor, replacing a full-length
+    complex IFFT), and the stereo matrix is decimated by linearity with
+    one extra rfft. Differs from the reference only in FIR edge handling
+    (circular vs odd-extension) and the interpolated subcarrier —
+    measured ~86-96 dB match to exact, far inside the 1 dB SNR
+    acceptance bound (BASELINE.md); asserted by test.
     """
     input_size, output_size = int(input_size), int(output_size)
     win = design.resample_window("hamm", input_size)
@@ -112,6 +115,54 @@ def make_wbfm_step(input_size: int, output_size: int,
     m2 = m // 2 + 1
     s_fac = n / m
 
+    # ---- narrowband pilot path (fast mode) -------------------------------
+    # The 41-tap pilot bandpass can't be narrower than its Hamming
+    # mainlobe (half-width ≈ 2·fs/41 Hz), so |B(ω)|² — and with it the
+    # whole analytic-signal integrand — is supported on a slice around
+    # the 19 kHz bin (one-second convention: bin == Hz). Computing the
+    # analytic ENVELOPE from that static slice with a small IFFT, then
+    # squaring/normalizing there and upsampling the resulting
+    # unit-modulus phasor (linear interp + static 38 kHz phasor
+    # multiply), is exact at the decimated instants and replaces the
+    # full-length complex ifft — the costliest transform in fast mode.
+    p0 = int(round(19e3))
+    hw = int(2 * n / PILOT_TAPS) + 1500   # mainlobe half-width + margin
+    s0, s1 = p0 - hw, p0 + hw
+    up_f = 1
+    # n_small must divide n (integer interp factor) and keep ≥2× alias
+    # headroom for the squared envelope (one-sided width 2·hw → 4·hw).
+    while n % (up_f * 2) == 0 and n // (up_f * 2) >= 4 * hw:
+        up_f *= 2
+    use_nb = up_f >= 2 and s0 > 0 and s1 < n_rfft
+    if use_nb:
+        n_small = n // up_f
+        # Removes the envelope's known center rotation (κ_p = hw bins,
+        # doubled by squaring) so only slow modulation is interpolated.
+        derot = np.exp(-4j * np.pi * hw
+                       * np.arange(n_small) / n_small).astype(np.complex64)
+        # Full-rate 2×19 kHz phasor restoring that rotation exactly:
+        # Im(U·c) with c = e^{4πi·p0·t/n}.
+        ph = 4 * np.pi * p0 * np.arange(n) / n
+        c38_cos = np.cos(ph).astype(np.float32)
+        c38_sin = np.sin(ph).astype(np.float32)
+        interp_w = (np.arange(up_f) / up_f).astype(np.float32)
+        pw_slice = pilot_weights[s0:s1]
+
+    def _subcarrier_nb(c_spec: jnp.ndarray) -> jnp.ndarray:
+        """Im(a²/|a²|) from the pilot-band slice of the composite spectrum."""
+        from radiocore_tpu.ops import fft as _fft
+        zs = c_spec[..., s0:s1] * jnp.asarray(pw_slice)
+        pad = jnp.zeros(zs.shape[:-1] + (n_small - (s1 - s0),), zs.dtype)
+        env = _fft.ifft(jnp.concatenate([zs, pad], axis=-1))
+        u = env * env
+        u = (u / jnp.abs(u)) * jnp.asarray(derot)
+        # Circular linear interp ×up_f back to the full rate.
+        d = jnp.roll(u, -1, axis=-1) - u
+        up = u[..., :, None] + d[..., :, None] * jnp.asarray(interp_w)
+        up = up.reshape(u.shape[:-1] + (n,))
+        return (jnp.real(up) * jnp.asarray(c38_sin)
+                + jnp.imag(up) * jnp.asarray(c38_cos))
+
     def _decimate_spec(spec_onesided: jnp.ndarray) -> jnp.ndarray:
         """rfft-domain decimate: window, truncate, Nyquist fix, irfft."""
         from radiocore_tpu.ops import fft as _fft
@@ -128,14 +179,17 @@ def make_wbfm_step(input_size: int, output_size: int,
         c_spec = q_spec * jnp.asarray(w1, dtype=jnp.float32)
         comp = _fft.irfft(c_spec, n=n)                 # big irfft #2
 
-        # Pilot analytic signal straight from the composite spectrum:
-        # zero negative freqs == one-sided spectrum with h weights.
-        z = jnp.concatenate(
-            [c_spec * jnp.asarray(pilot_weights),
-             jnp.zeros(c_spec.shape[:-1] + (n - n_rfft,), c_spec.dtype)],
-            axis=-1)
-        analytic = _fft.ifft(z)                        # big ifft #3
-        subcarrier = pll_harmonic(analytic, 2, "imag")
+        if use_nb:
+            subcarrier = _subcarrier_nb(c_spec)        # small ifft
+        else:
+            # Pilot analytic signal straight from the composite spectrum:
+            # zero negative freqs == one-sided spectrum with h weights.
+            z = jnp.concatenate(
+                [c_spec * jnp.asarray(pilot_weights),
+                 jnp.zeros(c_spec.shape[:-1] + (n - n_rfft,), c_spec.dtype)],
+                axis=-1)
+            analytic = _fft.ifft(z)                    # big ifft #3
+            subcarrier = pll_harmonic(analytic, 2, "imag")
         lmr = subcarrier * comp * STEREO_GAIN
 
         lmr_spec = _fft.rfft(lmr)                      # big rfft #4

@@ -85,8 +85,10 @@ def test_wbfm_fast_mode_matches_exact():
     a_e, a_f = np.asarray(a_e), np.asarray(a_f)
     for ch in range(2):
         # Interior: edge transients differ by design (circular vs odd-ext).
+        # Measured ~86 dB with the narrowband-pilot subcarrier path;
+        # bound leaves margin while catching real regressions.
         snr = oracles.snr_db(a_e[500:-500, ch], a_f[500:-500, ch])
-        assert snr > 30, snr
+        assert snr > 60, snr
     # Stereo still separates in fast mode.
     assert oracles.tone_snr_db(a_f[1000:-1000, 0], AUDIO, 440.0) > 10
     assert oracles.tone_snr_db(a_f[1000:-1000, 1], AUDIO, 1000.0) > 10
