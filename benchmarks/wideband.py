@@ -97,8 +97,10 @@ def main(argv=None) -> None:
     # materialize intermediates), so this is a conservative lower bound —
     # the fraction understates true HBM utilization.
     hbm_peak = {"TPU v5 lite": 819e9}  # v5e: 819 GB/s per chip
-    dev = str(jax.devices()[0])
+    dev = jax.devices()[0].device_kind
     peak = next((v for k, v in hbm_peak.items() if k in dev), None)
+    if peak and args.time_shards > 1:
+        peak *= args.time_shards  # aggregate over participating chips
     min_bytes = 4 * n * 8
     result = {
         "metric": "wideband_fir_pfb_msamples_per_s",

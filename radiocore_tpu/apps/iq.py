@@ -87,6 +87,8 @@ def convert_iq(raw: np.ndarray, fmt: str) -> np.ndarray:
     61.44 MS/s); dispatches to the native C++ kernels
     (native/iqconvert.cpp) when built, NumPy otherwise.
     """
+    if len(raw) % 2:
+        raw = raw[:-1]  # drop trailing unpaired scalar (short SDR read)
     if fmt == "cf32":
         return np.ascontiguousarray(raw).view(np.complex64)
     if fmt not in _WIRE_DTYPE:
@@ -117,12 +119,7 @@ class IQFileSource:
         self.sample_rate = int(sample_rate)
         self.fmt = fmt
         wire = np.fromfile(path, dtype=_WIRE_DTYPE.get(fmt, np.complex64))
-        if fmt != "cf32":
-            if len(wire) % 2:
-                wire = wire[:-1]  # drop trailing unpaired scalar
-            self._data = convert_iq(wire, fmt)
-        else:
-            self._data = wire
+        self._data = convert_iq(wire, fmt) if fmt != "cf32" else wire
         if len(self._data) == 0:
             raise ValueError(f"empty IQ file: {path}")
         self._pos = 0
@@ -151,7 +148,10 @@ def write_iq_file(path: str, iq: np.ndarray, fmt: str = "cf32") -> None:
     from radiocore_tpu.native.build import iq_f32_to_s16_native
     pcm = iq_f32_to_s16_native(scalars)
     if pcm is None:
-        pcm = np.clip(np.round(scalars * 32767.0),
+        # Half-away-from-zero, matching the native kernel bit-for-bit
+        # (np.round would round half-to-even).
+        v = scalars * 32767.0
+        pcm = np.clip(np.trunc(v + np.copysign(0.5, v)),
                       -32768, 32767).astype(np.int16)
     pcm.tofile(path)
 

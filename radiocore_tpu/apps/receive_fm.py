@@ -91,7 +91,11 @@ def main(argv=None) -> None:
     parser.add_argument("frequency", nargs="?", type=float, default=96.9e6,
                         help="station frequency (Hz), parity with the "
                              "reference's positional argv")
-    parser.add_argument("--iq-file", help="CF32 IQ file to play back")
+    parser.add_argument("--iq-file", help="raw IQ file to play back")
+    parser.add_argument("--iq-format", default="cf32",
+                        choices=("cf32", "cu8", "cs8", "cs16"),
+                        help="IQ file wire format (fixed-point formats "
+                             "go through the native converter)")
     parser.add_argument("--soapy", metavar="DEVICE_ARGS", default=None,
                         help="use a live SoapySDR device (e.g. "
                              "'driver=rtlsdr'); requires SoapySDR")
@@ -115,7 +119,8 @@ def main(argv=None) -> None:
         source = SoapySdrSource(config.input_rate, config.frequency,
                                 device_args=args.soapy)
     elif args.iq_file:
-        source = IQFileSource(args.iq_file, int(config.input_rate))
+        source = IQFileSource(args.iq_file, int(config.input_rate),
+                              fmt=args.iq_format)
     else:
         source = SyntheticFmSource(int(config.input_rate), [0],
                                    int(config.demod_rate))

