@@ -68,16 +68,17 @@ def make_wbfm_step(input_size: int, output_size: int,
 
     ``mode='exact'`` reproduces the reference stage-for-stage (golden
     tests assert >40 dB match). ``mode='fast'`` computes the same
-    pipeline with spectra reused across stages — the composite spectrum
-    from the demod resample feeds the pilot's analytic signal directly
-    (zero-phase bandpass applied as |B(ω)|² in frequency), the 38 kHz
-    subcarrier is synthesized from a narrowband pilot-slice envelope
-    (small IFFT + interpolated unit phasor, replacing a full-length
-    complex IFFT), and the stereo matrix is decimated by linearity with
-    one extra rfft. Differs from the reference only in FIR edge handling
-    (circular vs odd-extension) and the interpolated subcarrier —
-    measured ~86-96 dB match to exact, far inside the 1 dB SNR
-    acceptance bound (BASELINE.md); asserted by test.
+    pipeline in the envelope domain: the composite spectrum from the
+    demod resample feeds static slices (zero-phase pilot bandpass as
+    |B(ω)|² in frequency; comp's analytic part around 38 kHz), the
+    L−R channel is ``Im(U·conj(V))`` of the two envelopes — the 38 kHz
+    carriers cancel — at a pow2 rate n2 ≪ n, and the stereo matrix is
+    decimated by truncated-spectrum linearity. One full-length
+    transform per chunk (the composite rfft) instead of four. Differs
+    from the reference only in FIR edge handling (circular vs
+    odd-extension) and slice truncation at the -80 dB level — measured
+    84-96 dB match to exact, far inside the 1 dB SNR acceptance bound
+    (BASELINE.md); asserted by test.
     """
     input_size, output_size = int(input_size), int(output_size)
     win = design.resample_window("hamm", input_size)
@@ -115,63 +116,69 @@ def make_wbfm_step(input_size: int, output_size: int,
     m2 = m // 2 + 1
     s_fac = n / m
 
-    # ---- narrowband pilot path (fast mode) -------------------------------
-    # The 41-tap pilot bandpass can't be narrower than its Hamming
-    # mainlobe (half-width ≈ 2·fs/41 Hz), so |B(ω)|² — and with it the
-    # whole analytic-signal integrand — is supported on a slice around
-    # the 19 kHz bin (one-second convention: bin == Hz). Computing the
-    # analytic ENVELOPE from that static slice with a small IFFT, then
-    # squaring/normalizing there and upsampling the resulting
-    # unit-modulus phasor (linear interp + static 38 kHz phasor
-    # multiply), is exact at the decimated instants and replaces the
-    # full-length complex ifft — the costliest transform in fast mode.
+    # ---- envelope-domain L−R path (fast mode) -----------------------------
+    # Two observations collapse the stereo difference channel to
+    # narrowband envelope arithmetic:
+    #
+    # 1. The 41-tap pilot bandpass can't be narrower than its Hamming
+    #    mainlobe (half-width ≈ 2·fs/41 Hz), so |B(ω)|² — the whole
+    #    analytic-signal integrand — is supported on a slice around the
+    #    19 kHz bin (one-second convention: bin == Hz).
+    # 2. The decimated stereo legs only keep spectrum below the audio
+    #    Nyquist (m2 bins), so of the mixing product subcarrier·comp
+    #    only comp's content within 38 kHz ± audio-Nyquist matters:
+    #    LP(Im(W)·comp) = Im(U·conj(V)) exactly, where W = U·e^{j2π·38k·t}
+    #    is the unit subcarrier and V the analytic envelope of comp
+    #    around 38 kHz — and the 38 kHz carriers CANCEL. Both envelopes
+    #    live at a small rate n2 (pow2), so the L−R channel never
+    #    touches the full rate: per-station full-length transforms drop
+    #    to ONE (the composite rfft).
     p0 = int(round(19e3))
-    hw = int(2 * n / PILOT_TAPS) + 1500   # mainlobe half-width + margin
-    s0, s1 = p0 - hw, p0 + hw
-    up_f = 1
-    # n_small must divide n (integer interp factor) and keep ≥2× alias
-    # headroom for the squared envelope (one-sided width 2·hw → 4·hw).
-    while n % (up_f * 2) == 0 and n // (up_f * 2) >= 4 * hw:
-        up_f *= 2
-    use_nb = up_f >= 2 and s0 > 0 and s1 < n_rfft
-    if use_nb:
-        n_small = n // up_f
-        # Removes the envelope's known center rotation (κ_p = hw bins,
-        # doubled by squaring) so only slow modulation is interpolated.
-        derot = np.exp(-4j * np.pi * hw
-                       * np.arange(n_small) / n_small).astype(np.complex64)
-        # Full-rate 2×19 kHz phasor restoring that rotation exactly:
-        # Im(U·c) with c = e^{4πi·p0·t/n}.
-        ph = 4 * np.pi * p0 * np.arange(n) / n
-        c38_cos = np.cos(ph).astype(np.float32)
-        c38_sin = np.sin(ph).astype(np.float32)
-        interp_w = (np.arange(up_f) / up_f).astype(np.float32)
+    hw = int(2 * n / PILOT_TAPS) + 1500   # pilot mainlobe half-width
+    s0, s1 = p0 - hw, p0 + hw             # pilot slice
+    hw2 = m2 + 1024                       # audio Nyquist + margin
+    s2, e2 = 2 * p0 - hw2, 2 * p0 + hw2   # comp-around-38 kHz slice
+    n2 = 1
+    # pow2 envelope rate: ≥4·hw (squared pilot alias headroom), ≥2·hw2
+    # (lmr content), and small enough to be worth it.
+    while n2 < max(4 * hw, 2 * hw2):
+        n2 *= 2
+    use_env = (0 < s0 and s1 < n_rfft and 0 < s2 and e2 <= n_rfft
+               and n2 <= n)
+    if use_env:
         pw_slice = pilot_weights[s0:s1]
+        wc_slice = w1[s2:e2].astype(np.float32)   # no h: one-sided P as-is
+        # Residual envelope rotations — pilot² ref 2·s0 and comp ref s2,
+        # both retuned to 38 kHz — combine into one static phasor; the
+        # 38 kHz carriers themselves cancel in U·conj(V).
+        phasor = np.exp(2j * np.pi * (hw2 - 2 * hw)
+                        * np.arange(n2) / n2).astype(np.complex64)
 
-    def _subcarrier_nb(c_spec: jnp.ndarray) -> jnp.ndarray:
-        """Im(a²/|a²|) from the pilot-band slice of the composite spectrum."""
+    def _lmr_env(q_spec: jnp.ndarray) -> jnp.ndarray:
+        """w1-weighted L−R at the envelope rate n2 (real, (..., n2))."""
         from radiocore_tpu.ops import fft as _fft
-        zs = c_spec[..., s0:s1] * jnp.asarray(pw_slice)
-        pad = jnp.zeros(zs.shape[:-1] + (n_small - (s1 - s0),), zs.dtype)
-        env = _fft.ifft(jnp.concatenate([zs, pad], axis=-1))
-        u = env * env
+
+        def pad(z):
+            return jnp.concatenate(
+                [z, jnp.zeros(z.shape[:-1] + (n2 - z.shape[-1],), z.dtype)],
+                axis=-1)
+
+        zp = q_spec[..., s0:s1] * jnp.asarray(pw_slice)
+        zc = q_spec[..., s2:e2] * jnp.asarray(wc_slice)
+        env = _fft.ifft(jnp.stack([pad(zp), pad(zc)], axis=-2))
+        a, v = env[..., 0, :], env[..., 1, :]
+        u = a * a
         # Epsilon guard: a dead/squelched channel (zero pilot band) gives
         # |u| = 0; exact mode would emit NaN audio there, here the
         # subcarrier just goes to zero (strictly better failure mode).
-        u = (u / jnp.maximum(jnp.abs(u), jnp.finfo(jnp.float32).tiny)
-             ) * jnp.asarray(derot)
-        # Circular linear interp ×up_f back to the full rate.
-        d = jnp.roll(u, -1, axis=-1) - u
-        up = u[..., :, None] + d[..., :, None] * jnp.asarray(interp_w)
-        up = up.reshape(u.shape[:-1] + (n,))
-        return (jnp.real(up) * jnp.asarray(c38_sin)
-                + jnp.imag(up) * jnp.asarray(c38_cos))
+        u = u / jnp.maximum(jnp.abs(u), jnp.finfo(jnp.float32).tiny)
+        return jnp.imag(u * jnp.conj(v) * jnp.asarray(phasor)) * STEREO_GAIN
 
-    def _decimate_spec(spec_onesided: jnp.ndarray) -> jnp.ndarray:
-        """rfft-domain decimate: window, truncate, Nyquist fix, irfft."""
+    def _decimate_trunc(spec_trunc: jnp.ndarray) -> jnp.ndarray:
+        """Decimate from already-truncated spectrum (..., m2): window,
+        Nyquist fix, irfft — the final resample of the stereo matrix."""
         from radiocore_tpu.ops import fft as _fft
-        x = spec_onesided * jnp.asarray(w1, dtype=jnp.float32)
-        x = x[..., :m2]
+        x = spec_trunc * jnp.asarray(w1[:m2], dtype=jnp.float32)
         if m % 2 == 0 and m != n:
             x = x.at[..., m // 2].multiply(2.0)
         return _fft.irfft(x / s_fac, n=m)
@@ -179,27 +186,32 @@ def make_wbfm_step(input_size: int, output_size: int,
     def step_fast(iq: jnp.ndarray, state: State) -> Tuple[jnp.ndarray, State]:
         from radiocore_tpu.ops import fft as _fft
         quad = quadrature_demod(iq)
-        q_spec = _fft.rfft(quad)                       # big rfft #1
-        c_spec = q_spec * jnp.asarray(w1, dtype=jnp.float32)
-        comp = _fft.irfft(c_spec, n=n)                 # big irfft #2
+        q_spec = _fft.rfft(quad)                       # the ONE big rfft
 
-        if use_nb:
-            subcarrier = _subcarrier_nb(c_spec)        # small ifft
+        if use_env:
+            lmr_t = _lmr_env(q_spec)                   # rate-n2 envelopes
+            lmr_trunc = _fft.rfft(lmr_t)[..., :m2]     # scales cancel: see
+            # LMR_n[k] = (n/n2)·LMR_n2[k] and V_true = V_raw·(n2/n).
+            comp_trunc = q_spec[..., :m2] * jnp.asarray(
+                w1[:m2], dtype=jnp.float32)
         else:
-            # Pilot analytic signal straight from the composite spectrum:
-            # zero negative freqs == one-sided spectrum with h weights.
+            # Legacy spectrum-reuse path (tiny chunk sizes where the
+            # 38 kHz slice would exceed Nyquist).
+            c_spec = q_spec * jnp.asarray(w1, dtype=jnp.float32)
+            comp = _fft.irfft(c_spec, n=n)
             z = jnp.concatenate(
                 [c_spec * jnp.asarray(pilot_weights),
                  jnp.zeros(c_spec.shape[:-1] + (n - n_rfft,), c_spec.dtype)],
                 axis=-1)
-            analytic = _fft.ifft(z)                    # big ifft #3
+            analytic = _fft.ifft(z)
             subcarrier = pll_harmonic(analytic, 2, "imag")
-        lmr = subcarrier * comp * STEREO_GAIN
+            lmr = subcarrier * comp * STEREO_GAIN
+            lmr_trunc = _fft.rfft(lmr)[..., :m2]
+            comp_trunc = c_spec[..., :m2]
 
-        lmr_spec = _fft.rfft(lmr)                      # big rfft #4
         # One batched irfft for both stereo legs (stacked on a new axis).
-        lr = _decimate_spec(jnp.stack([c_spec + lmr_spec,
-                                       c_spec - lmr_spec], axis=-2))
+        lr = _decimate_trunc(jnp.stack([comp_trunc + lmr_trunc,
+                                        comp_trunc - lmr_trunc], axis=-2))
         return _finish(lr[..., 0, :], lr[..., 1, :], state)
 
     def _finish(left, right, state):
