@@ -85,20 +85,33 @@ def make_multi_station_step(
         extract_j = jax.jit(extract, out_shardings=st2)
         wbfm_j = jax.jit(wbfm_stage, out_shardings=(st3, state_sh))
         state0 = jax.device_put(state0, state_sh)
-    else:
-        band_fft = jax.jit(band_fft)
-        extract_j = jax.jit(extract)
-        wbfm_j = jax.jit(wbfm_stage)
+
+        def step(band_iq: jnp.ndarray, state: dict):
+            return wbfm_j(extract_j(band_fft(band_iq)), state)
+
+        return step, state0
+
+    # Single-chip: ONE program when every FFT size lowers natively
+    # (saves the inter-stage HBM round-trips of the spectrum/station
+    # arrays — measured 26.9 → 25.4 ms at 64×262 144 on v5e). With a
+    # planner-DECOMPOSED size in the program, keep per-stage jits: the
+    # decomposition's transposes propagate tiled layouts that degrade
+    # the extraction slices into gather-like loops (~129 ms vs ~19 ms
+    # at 16×250 kS/s). A jit boundary pins canonical layouts.
+    all_native = all(_fft._plan(s) is None
+                     for s in {int(n_band), int(station_chunk)})
+    if all_native:
+        @jax.jit
+        def step(band_iq: jnp.ndarray, state: dict):
+            return wbfm_stage(extract(band_fft(band_iq)), state)
+
+        return step, state0
+
+    band_fft = jax.jit(band_fft)
+    extract_j = jax.jit(extract)
+    wbfm_j = jax.jit(wbfm_stage)
 
     def step(band_iq: jnp.ndarray, state: dict):
-        # Per-stage jit composition ON PURPOSE: when a planner-decomposed
-        # (non-native-size) FFT shares an XLA program with the extraction
-        # slices or the demod chain, the compiler propagates tiled
-        # layouts that degrade the slices into gather-like loops
-        # (~129 ms vs ~19 ms for 16×250 kS/s stations on v5e). A jit
-        # boundary pins canonical layouts; dispatch overhead is
-        # microseconds against a 1-second chunk. Native-size (pow2)
-        # plans don't need the split but aren't hurt by it.
         return wbfm_j(extract_j(band_fft(band_iq)), state)
 
     return step, state0
