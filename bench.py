@@ -61,17 +61,27 @@ def main() -> None:
         planes = 0.1 * jax.random.normal(key, (2, n_band), jnp.float32)
         return jax.lax.complex(planes[0], planes[1])
 
+    # Vary the band in-program from a per-call scalar: the relay can
+    # dedupe identical repeated (program, args) calls and report the
+    # dispatch floor instead of real work (see CLAUDE.md). Threaded
+    # demod state alone is not enough — it converges after one call on
+    # a constant band. Verified: varied-scalar timing matches the
+    # state-threaded number here (25.6 vs 25.1 ms at 64 stations).
+    @jax.jit
+    def step_varied(band, st, jitter):
+        return step(band * (1.0 + jitter), st)
+
     band = make_band(jax.random.key(0))
     jax.block_until_ready(band)
 
     # Warmup / compile.
-    audio, state = step(band, state)
+    audio, state = step_varied(band, state, jnp.float32(0))
     jax.block_until_ready((audio, state))
 
     iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        audio, state = step(band, state)
+    for i in range(iters):
+        audio, state = step_varied(band, state, jnp.float32((i + 1) * 1e-7))
     jax.block_until_ready((audio, state))
     dt = (time.perf_counter() - t0) / iters
 

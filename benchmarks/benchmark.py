@@ -22,6 +22,11 @@ import numpy as np
 
 
 def _time(fn, iters: int, warmup: int = 2) -> float:
+    # CAUTION (TPU relay): fn() usually re-runs the same (program, args)
+    # every iteration; the relay can dedupe identical repeats and report
+    # the dispatch floor (see CLAUDE.md). These component numbers mirror
+    # the reference harness 1:1 on CPU; for relay-attached TPU timing
+    # prefer bench.py / benchmarks/wideband.py, whose loops vary inputs.
     import jax
     for _ in range(warmup):
         jax.block_until_ready(fn())

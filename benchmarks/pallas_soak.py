@@ -99,16 +99,26 @@ def main(argv=None) -> int:
         taps = sig.firwin(taps_n, 0.25).astype(np.float32)
         x = make_x(batch, n, jax.random.key(0))
         results = {}
+        def make_timed(filt):
+            @jax.jit
+            def timed(x, j):
+                y = filt(x * (1.0 + j))
+                return y, y.ravel()[0]
+            return timed
+
         for name, fn in (
-                ("pallas", jax.jit(lambda x: fir_causal_pallas(x, taps))),
-                ("conv", jax.jit(lambda x: fir_causal(
+                ("pallas", make_timed(lambda x: fir_causal_pallas(x, taps))),
+                ("conv", make_timed(lambda x: fir_causal(
                     x, taps, impl="conv")))):
-            y = fn(x)
-            jax.block_until_ready(y)
+            # Honest timing through the relay (see CLAUDE.md): per-call
+            # jitter beats request dedup; chaining a scalar from the
+            # output into the next call beats lazy output elision.
+            y, chk = fn(x, jnp.float32(0))
+            jax.block_until_ready(chk)
             t0 = time.perf_counter()
-            for _ in range(args.iters):
-                y = fn(x)
-            jax.block_until_ready(y)
+            for i in range(args.iters):
+                y, chk = fn(x, chk * 1e-30 + (i + 1) * 1e-7)
+            jax.block_until_ready((y, chk))
             dt = (time.perf_counter() - t0) / args.iters
             msps = batch * n / dt / 1e6
             # float32 in+out: 8 bytes/sample minimum HBM traffic.

@@ -63,7 +63,11 @@ def make_extractor(n: int, shifts: Tuple[int, ...],
     starts, w_out, w_fix, m2, run = extraction_plan(n, shifts, m)
     neg = m - m2
     s_fac = n / m
-    w_j = jnp.asarray(w_out)
+    # Keep the window as host NumPy: an eagerly-created device array
+    # becomes a captured jit constant whose lowering needs a D2H fetch —
+    # which the flaky relay can reject at compile time. XLA embeds a
+    # NumPy constant directly.
+    w_j = w_out
 
     uniform = (c > 1 and n >= c * m
                and all((starts[i] - starts[0]) % n == (i * m) % n

@@ -13,18 +13,11 @@ the last axis.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-
-
-@functools.lru_cache(maxsize=1)
-def _on_tpu() -> bool:
-    from radiocore_tpu.runtime.platform import has_tpu
-    return has_tpu()
 
 
 def _as_taps(taps, dtype) -> jnp.ndarray:
@@ -66,13 +59,13 @@ def fir_causal(x: jnp.ndarray, taps,
     """
     if impl == "auto":
         import os
-        # Default: the Pallas MXU kernel on TPU for long f32 signals —
-        # soak-tested on v5e (benchmarks/pallas_soak.py: max rel err
-        # 7e-7 across shapes, 6.1x the XLA conv lowering at 64x262144
-        # x129 taps). RADIOCORE_TPU_FIR_IMPL=conv is the kill switch;
-        # =pallas forces the kernel (interpret mode off-TPU, slow).
-        default = "pallas" if _on_tpu() else "conv"
-        impl = os.environ.get("RADIOCORE_TPU_FIR_IMPL", default)
+        # Default: XLA conv. The Pallas kernel is soak-CORRECT on v5e
+        # (benchmarks/pallas_soak.py: max rel err 7e-7 across shapes)
+        # but honestly-timed 3.5× SLOWER than the conv lowering
+        # (447 vs 1575 MS/s at 64×262144×129; an earlier 6.1× "win"
+        # was a relay measurement artifact — see CLAUDE.md). Opt in
+        # with RADIOCORE_TPU_FIR_IMPL=pallas.
+        impl = os.environ.get("RADIOCORE_TPU_FIR_IMPL", "conv")
         if impl == "pallas" and (jnp.iscomplexobj(x)
                                  or x.shape[-1] < 16384
                                  or not isinstance(taps, np.ndarray)):
@@ -133,22 +126,31 @@ def fir_overlap_save(x: jnp.ndarray, taps,
     xp = jnp.concatenate([history.astype(x.dtype), x], axis=-1)
 
     n_blocks = -(-n // block)
-    pad = n_blocks * block - n
+    # Pad so the body reshape AND the final block's (t-1)-tail both exist.
+    pad = n_blocks * block + (t - 1) - (xp.shape[-1])
     xp = jnp.pad(xp, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
 
-    # Overlapping segments: segment b covers xp[b·block : b·block+block+t-1].
-    segs = jnp.stack(
-        [xp[..., b * block:b * block + block + t - 1]
-         for b in range(n_blocks)], axis=-2)       # (..., B, block+t-1)
+    # Overlapping segments, segment b = xp[b·block : b·block+block+t-1],
+    # built from ONE reshape + small concats (a python-unrolled
+    # stack-of-slices lowers to hundreds of copies — measured 120 ms at
+    # 8.4M samples where this form is ~2 ms).
+    body = xp[..., :n_blocks * block].reshape(
+        xp.shape[:-1] + (n_blocks, block))              # (..., B, block)
+    tail_last = xp[..., n_blocks * block:
+                   n_blocks * block + t - 1]            # final (t-1) tail
+    tails = jnp.concatenate(
+        [body[..., 1:, :t - 1], tail_last[..., None, :]], axis=-2)
+    segs = jnp.concatenate([body, tails], axis=-1)      # (..., B, block+t-1)
 
+    from radiocore_tpu.ops import fft as _fft
+    pad_f = [(0, 0)] * (segs.ndim - 1) + [(0, nfft - segs.shape[-1])]
+    segs = jnp.pad(segs, pad_f)
     if jnp.iscomplexobj(x):
-        hs = jnp.asarray(np.fft.fft(taps_np, nfft).astype(np.complex64))
-        y = jnp.fft.ifft(jnp.fft.fft(segs, n=nfft, axis=-1) * hs, axis=-1)
-        y = y.astype(x.dtype)
+        hs = np.fft.fft(taps_np, nfft).astype(np.complex64)
+        y = _fft.ifft(_fft.fft(segs) * hs).astype(x.dtype)
     else:
-        hs = jnp.asarray(h_spec.astype(np.complex64))
-        y = jnp.fft.irfft(jnp.fft.rfft(segs, n=nfft, axis=-1) * hs,
-                          n=nfft, axis=-1).astype(x.dtype)
+        hs = h_spec.astype(np.complex64)
+        y = _fft.irfft(_fft.rfft(segs) * hs, n=nfft).astype(x.dtype)
     # Valid region of each block: samples t-1 .. t-1+block-1.
     y = y[..., t - 1:t - 1 + block]
     y = y.reshape(x.shape[:-1] + (n_blocks * block,))
