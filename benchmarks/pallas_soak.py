@@ -97,29 +97,36 @@ def main(argv=None) -> int:
     if not args.quick:
         batch, n, taps_n = 64, 262_144, 129
         taps = sig.firwin(taps_n, 0.25).astype(np.float32)
-        x = make_x(batch, n, jax.random.key(0))
+        # Honest timing protocol (evidence: benchmarks/diag_relay.py,
+        # CLAUDE.md): FRESH random input per call (dedup impossible),
+        # a scalar derived from each output chained into the next
+        # call's input (no call skippable), float() barriers around the
+        # window (block_until_ready alone can return before deferred
+        # relay work runs).
+        iters = min(args.iters, 10)
+        xs = [make_x(batch, n, jax.random.key(1000 + i))
+              for i in range(iters + 1)]
+        jax.block_until_ready(xs)
         results = {}
+
         def make_timed(filt):
             @jax.jit
-            def timed(x, j):
-                y = filt(x * (1.0 + j))
-                return y, y.ravel()[0]
+            def timed(x, c):
+                y = filt(x * (1.0 + c * 1e-3))
+                return y, jnp.mean(jnp.abs(y[:, ::4096])) + y[0, 0] * 1e-3
             return timed
 
         for name, fn in (
                 ("pallas", make_timed(lambda x: fir_causal_pallas(x, taps))),
                 ("conv", make_timed(lambda x: fir_causal(
                     x, taps, impl="conv")))):
-            # Honest timing through the relay (see CLAUDE.md): per-call
-            # jitter beats request dedup; chaining a scalar from the
-            # output into the next call beats lazy output elision.
-            y, chk = fn(x, jnp.float32(0))
-            jax.block_until_ready(chk)
+            y, chk = fn(xs[-1], jnp.float32(0))
+            float(chk)  # compile + hard drain
             t0 = time.perf_counter()
-            for i in range(args.iters):
-                y, chk = fn(x, chk * 1e-30 + (i + 1) * 1e-7)
-            jax.block_until_ready((y, chk))
-            dt = (time.perf_counter() - t0) / args.iters
+            for i in range(iters):
+                y, chk = fn(xs[i], chk)
+            float(chk)  # hard barrier: value fetch can't return early
+            dt = (time.perf_counter() - t0) / iters
             msps = batch * n / dt / 1e6
             # float32 in+out: 8 bytes/sample minimum HBM traffic.
             gbps = batch * n * 8 / dt / 1e9

@@ -39,19 +39,30 @@ def measure(mesh, n_stations: int, station_chunk: int, audio_chunk: int,
         planes = 0.1 * jax.random.normal(key, (2, n_band), jnp.float32)
         return jax.lax.complex(planes[0], planes[1])
 
-    # Per-call scalar jitter: the TPU relay can dedupe identical
-    # repeated calls (see CLAUDE.md); threaded state alone converges on
-    # a constant band.
-    varied = jax.jit(lambda b, st, j: step(b * (1.0 + j), st))
+    # Honest-timing harness (CLAUDE.md): (a) per-call scalar jitter —
+    # the TPU relay can dedupe identical repeated calls; (b) a scalar
+    # derived from the expensive audio output chains into the next
+    # call's jitter so no call's work can be elided. The jitter is
+    # applied in its OWN tiny jit so the pipeline's deliberate per-stage
+    # jit boundaries are preserved (an outer jit would inline them into
+    # one program with different layout behavior).
+    jitter_fn = jax.jit(lambda b, j: b * (1.0 + j))
+    chk_fn = jax.jit(lambda a: jnp.mean(jnp.abs(a)) + a.ravel()[0] * 1e-3)
 
     band = make_band(jax.random.key(0))
-    audio, state = varied(band, state, jnp.float32(0))   # compile
-    jax.block_until_ready((audio, state))
+    audio, state = step(jitter_fn(band, jnp.float32(0)), state)  # compile
+    chk = chk_fn(audio)
+    jax.block_until_ready((audio, chk))
 
+    float(chk)  # hard drain (float() barrier, see bench.py)
     t0 = time.perf_counter()
     for i in range(iters):
-        audio, state = varied(band, state, jnp.float32((i + 1) * 1e-7))
-    jax.block_until_ready((audio, state))
+        # chk*1e-3 actually perturbs the value (1e-30 would underflow
+        # against the 1e-7 step in f32 and repeat bit-identical args).
+        b2 = jitter_fn(band, chk * 1e-3 + jnp.float32((i + 1) * 1e-7))
+        audio, state = step(b2, state)
+        chk = chk_fn(audio)
+    float(chk)
     return (time.perf_counter() - t0) / iters
 
 
@@ -61,6 +72,11 @@ def main(argv=None) -> None:
     parser.add_argument("--station-rate", type=float, default=250e3)
     parser.add_argument("--audio-rate", type=float, default=48e3)
     parser.add_argument("--iters", type=int, default=5)
+    parser.add_argument("--time-axis", action="store_true",
+                        help="shard over the time mesh axis instead of "
+                             "stations (the distributed six-step band "
+                             "FFT shards over all devices either way; "
+                             "this exercises the time-major layout)")
     args = parser.parse_args(argv)
 
     import jax
@@ -69,13 +85,24 @@ def main(argv=None) -> None:
     n_dev = len(jax.devices())
     sizes = [s for s in (1, 2, 4, n_dev) if s <= n_dev]
 
+    def peak_mem_mb():
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            return round(stats["peak_bytes_in_use"] / 1e6, 1)
+        except Exception:
+            return None  # CPU backend has no memory stats
+
     station_chunk = int(args.station_rate)
     audio_chunk = int(args.audio_rate)
     rows = []
     base_rate = None
     for n_chips in dict.fromkeys(sizes):
-        mesh = make_radio_mesh(stations=n_chips, time=1,
-                               devices=jax.devices()[:n_chips])
+        if args.time_axis:
+            mesh = make_radio_mesh(stations=1, time=n_chips,
+                                   devices=jax.devices()[:n_chips])
+        else:
+            mesh = make_radio_mesh(stations=n_chips, time=1,
+                                   devices=jax.devices()[:n_chips])
         n_st = args.stations_per_chip * n_chips
         dt = measure(mesh, n_st, station_chunk, audio_chunk, args.iters)
         msps_per_chip = n_st * station_chunk / dt / n_chips / 1e6
@@ -83,10 +110,12 @@ def main(argv=None) -> None:
             base_rate = msps_per_chip
         rows.append({
             "chips": n_chips,
+            "mesh": dict(mesh.shape),
             "stations": n_st,
             "sec_per_chunk": round(dt, 4),
             "iq_msps_per_chip": round(msps_per_chip, 2),
             "scaling_efficiency": round(msps_per_chip / base_rate, 3),
+            "peak_device_mem_mb": peak_mem_mb(),
         })
         print(json.dumps(rows[-1]))
 

@@ -34,6 +34,11 @@ def main(argv=None) -> None:
     parser.add_argument("--channelizer", default="fft",
                         choices=("fft", "pfb"))
     args = parser.parse_args(argv)
+    if args.time_shards > 0 and args.channelizer == "fft":
+        parser.error("--channelizer fft is not implemented for "
+                     "--time-shards > 0 (the sharded branch runs the PFB "
+                     "halo path); drop --time-shards or use "
+                     "--channelizer pfb")
 
     import jax
     import jax.numpy as jnp
@@ -145,6 +150,8 @@ def main(argv=None) -> None:
         "band_rate_msps": args.band_rate / 1e6,
         "realtime_factor": round(msps * 1e6 / args.band_rate, 2),
         "channels": m,
+        "channelizer": "pfb" if args.time_shards > 0 else args.channelizer,
+        "time_shards": args.time_shards,
         "min_hbm_gbytes_per_s": round(min_bytes / dt / 1e9, 1),
     }
     if peak:

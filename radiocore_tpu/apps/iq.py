@@ -118,20 +118,32 @@ class IQFileSource:
         self.path = path
         self.sample_rate = int(sample_rate)
         self.fmt = fmt
-        wire = np.fromfile(path, dtype=_WIRE_DTYPE.get(fmt, np.complex64))
-        self._data = convert_iq(wire, fmt) if fmt != "cf32" else wire
-        if len(self._data) == 0:
+        # Memory-map the wire file and convert lazily per chunk: a
+        # multi-minute 61.44 MS/s fixed-point capture converted eagerly
+        # would transiently hold wire + cf32 arrays (~12 bytes/sample
+        # for cs16) — tens of GB of host RAM.
+        self._wire = np.memmap(path, dtype=_WIRE_DTYPE.get(fmt, np.complex64),
+                               mode="r")
+        self._scalars_per_sample = 1 if fmt == "cf32" else 2
+        self._n_samples = len(self._wire) // self._scalars_per_sample
+        if self._n_samples == 0:
             raise ValueError(f"empty IQ file: {path}")
         self._pos = 0
 
     def read_chunk(self, seconds: float = 1.0) -> np.ndarray:
         n = int(self.sample_rate * seconds)
         out = np.empty(n, np.complex64)
+        sps = self._scalars_per_sample
         filled = 0
         while filled < n:
-            take = min(n - filled, len(self._data) - self._pos)
-            out[filled:filled + take] = self._data[self._pos:self._pos + take]
-            self._pos = (self._pos + take) % len(self._data)
+            take = min(n - filled, self._n_samples - self._pos)
+            wire = np.ascontiguousarray(
+                self._wire[self._pos * sps:(self._pos + take) * sps])
+            if self.fmt == "cf32":
+                out[filled:filled + take] = wire
+            else:
+                out[filled:filled + take] = convert_iq(wire, self.fmt)
+            self._pos = (self._pos + take) % self._n_samples
             filled += take
         return out
 

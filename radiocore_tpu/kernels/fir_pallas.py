@@ -15,9 +15,14 @@ H+1 small matmuls: ~2·(H+1)·128 FLOP/sample regardless of T (for the
 common T ≤ 129, H = 1 → 512 FLOP/sample), which keeps the kernel
 HBM-bandwidth-bound — the "speed of light" target of BASELINE.md.
 
-Grid: (batch, row-blocks). Blocks overlap by H halo rows, so inputs stay
-in ANY/HBM memory space and each program DMAs its ``(BR+H, 128)`` slice
-into VMEM scratch explicitly.
+Pipelining: the round-1 version DMA'd each overlapping block serially
+(``copy.start(); copy.wait()`` back-to-back — zero overlap; measured
+3.5× SLOWER than XLA conv). This version lets Mosaic's automatic
+pipeliner double-buffer everything: the body block and a small
+per-block halo array are ordinary VMEM BlockSpecs whose HBM→VMEM copies
+for grid step i+1 overlap step i's matmuls. The halo rows are
+materialized once by XLA as a ``(batch, n_blocks, halo_pad, 128)``
+side array (+3% HBM traffic at the default block size).
 """
 
 from __future__ import annotations
@@ -34,7 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 from radiocore_tpu.runtime.platform import has_tpu
 
 LANES = 128
-DEF_BLOCK_ROWS = 256  # 32768 samples per program
+SUBLANES = 8           # f32 min tile is (8, 128)
+DEF_BLOCK_ROWS = 512   # 65536 samples per program
 
 
 def taps_to_band_matrices(taps: np.ndarray) -> np.ndarray:
@@ -52,48 +58,44 @@ def taps_to_band_matrices(taps: np.ndarray) -> np.ndarray:
     return m
 
 
-def _fir_kernel(x_hbm, m_ref, o_ref, x_vmem, sem, *, block_rows, n_halo,
+def _fir_kernel(x_ref, halo_ref, m_ref, o_ref, *, block_rows, n_halo,
                 halo_pad):
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    # DMA the overlapping (block_rows + halo_pad, 128) slice into VMEM.
-    # halo_pad is n_halo rounded up to the sublane tile (8 rows) so the
-    # DMA shape stays tile-aligned.
-    copy = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * block_rows, block_rows + halo_pad), :],
-        x_vmem, sem)
-    copy.start()
-    copy.wait()
-    acc = jnp.zeros((block_rows, LANES), dtype=jnp.float32)
-    for h in range(n_halo + 1):
-        rows = x_vmem[pl.ds(halo_pad - h, block_rows), :]
-        acc = acc + jnp.dot(rows, m_ref[h], preferred_element_type=jnp.float32)
-    o_ref[0, :, :] = acc
+    body = x_ref[0]                              # (block_rows, 128)
+    acc = jnp.dot(body, m_ref[0], preferred_element_type=jnp.float32)
+    if n_halo > 0:
+        ext = jnp.concatenate([halo_ref[0, 0], body], axis=0)
+        for h in range(1, n_halo + 1):
+            rows = ext[halo_pad - h:halo_pad - h + block_rows]
+            acc = acc + jnp.dot(rows, m_ref[h],
+                                preferred_element_type=jnp.float32)
+    o_ref[0] = acc
 
 
 @functools.lru_cache(maxsize=8)
 def _batched_call(block_rows: int):
     """pallas_call wrapper with a custom vmap rule.
 
-    The ANY-memory-space input only lowers with whole-array blocks, so an
-    outer ``vmap`` (e.g. a vmapped WBFM step) cannot add a batched block
-    dim; instead the rule collapses the vmap axis into the kernel's own
-    leading batch grid dimension.
+    An outer ``vmap`` (e.g. a vmapped WBFM step) collapses into the
+    kernel's own leading batch grid dimension instead of adding a block
+    dim.
     """
 
     @jax.custom_batching.custom_vmap
-    def call(x_ext, mats):
-        return _fir_blocks(x_ext, mats, block_rows)
+    def call(x_body, x_halo, mats):
+        return _fir_blocks(x_body, x_halo, mats, block_rows)
 
     @call.def_vmap
-    def _rule(axis_size, in_batched, x_ext, mats):  # noqa: ANN001
-        x_b, m_b = in_batched
+    def _rule(axis_size, in_batched, x_body, x_halo, mats):  # noqa: ANN001
+        x_b, h_b, m_b = in_batched
         if m_b:
             raise NotImplementedError("taps cannot be batched under vmap")
         if not x_b:
-            return call(x_ext, mats), False
-        v, b, rows, lanes = x_ext.shape
-        y = call(x_ext.reshape(v * b, rows, lanes), mats)
+            return call(x_body, x_halo, mats), False
+        if not h_b:
+            x_halo = jnp.broadcast_to(x_halo, (axis_size,) + x_halo.shape)
+        v, b = x_body.shape[:2]
+        y = call(x_body.reshape((v * b,) + x_body.shape[2:]),
+                 x_halo.reshape((v * b,) + x_halo.shape[2:]), mats)
         return y.reshape(v, b, *y.shape[1:]), True
 
     return call
@@ -104,21 +106,27 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows",))
-def _fir_blocks(x_ext: jnp.ndarray, mats: jnp.ndarray,
-                block_rows: int) -> jnp.ndarray:
-    """x_ext: (batch, rows + halo_pad, 128) with halo/history rows on top."""
-    batch, ext_rows, _ = x_ext.shape
+def _fir_blocks(x_body: jnp.ndarray, x_halo: jnp.ndarray,
+                mats: jnp.ndarray, block_rows: int) -> jnp.ndarray:
+    """x_body: (batch, n_blocks·block_rows, 128); x_halo: (batch,
+    n_blocks, halo_pad, 128) — block i's halo = the halo_pad rows just
+    before block i (history rows for i = 0)."""
+    batch, rows, _ = x_body.shape
     n_halo = mats.shape[0] - 1
-    halo_pad = _round_up(max(n_halo, 1), 8)  # sublane-aligned DMA shapes
-    rows = ext_rows - halo_pad
+    halo_pad = int(x_halo.shape[-2])
     n_blocks = rows // block_rows
-    grid = (batch, n_blocks)
+    flops = 2 * (n_halo + 1) * LANES * rows * LANES * batch
+    bytes_acc = 4 * (2 * batch * rows * LANES
+                     + batch * n_blocks * halo_pad * LANES)
     return pl.pallas_call(
-        functools.partial(_fir_kernel, block_rows=block_rows, n_halo=n_halo,
-                          halo_pad=halo_pad),
-        grid=grid,
+        functools.partial(_fir_kernel, block_rows=block_rows,
+                          n_halo=n_halo, halo_pad=halo_pad),
+        grid=(batch, n_blocks),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),      # whole x_ext in HBM
+            pl.BlockSpec((1, block_rows, LANES), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, halo_pad, LANES), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((mats.shape[0], LANES, LANES),
                          lambda b, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),  # band matrices resident
@@ -127,12 +135,10 @@ def _fir_blocks(x_ext: jnp.ndarray, mats: jnp.ndarray,
                                lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, rows, LANES), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((block_rows + halo_pad, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=bytes_acc,
+                                      transcendentals=0),
         interpret=not has_tpu(),
-    )(x_ext, mats)
+    )(x_body, x_halo, mats)
 
 
 def fir_causal_pallas(x: jnp.ndarray, taps,
@@ -146,7 +152,7 @@ def fir_causal_pallas(x: jnp.ndarray, taps,
     """
     mats = jnp.asarray(taps_to_band_matrices(np.asarray(taps)))
     n_halo = int(mats.shape[0]) - 1
-    halo_pad = _round_up(max(n_halo, 1), 8)
+    halo_pad = _round_up(max(n_halo, 1), SUBLANES)
     t_hist = halo_pad * LANES
 
     lead = x.shape[:-1]
@@ -154,18 +160,27 @@ def fir_causal_pallas(x: jnp.ndarray, taps,
     x2 = x.reshape((-1, n)).astype(jnp.float32)
     batch = x2.shape[0]
 
-    # History occupies the tail of the (tile-aligned) halo rows.
-    halo = jnp.zeros((batch, t_hist), jnp.float32)
-    if history is not None:
-        h = history.reshape((batch, -1)).astype(jnp.float32)
-        halo = halo.at[:, t_hist - h.shape[-1]:].set(h)
-
     # Pad the signal tail to a whole number of blocks of rows.
     samples_per_block = block_rows * LANES
     n_pad = (-n) % samples_per_block
-    x2 = jnp.concatenate(
-        [halo, x2, jnp.zeros((batch, n_pad), jnp.float32)], axis=-1)
-    x_ext = x2.reshape(batch, -1, LANES)
+    if n_pad:
+        x2 = jnp.concatenate(
+            [x2, jnp.zeros((batch, n_pad), jnp.float32)], axis=-1)
+    n_blocks = x2.shape[-1] // samples_per_block
+    x_body = x2.reshape(batch, -1, LANES)
 
-    y = _batched_call(block_rows)(x_ext, mats)
+    # History rows occupy the tail of block 0's halo slab.
+    hist = jnp.zeros((batch, t_hist), jnp.float32)
+    if history is not None:
+        h = history.reshape((batch, -1)).astype(jnp.float32)
+        hist = hist.at[:, t_hist - h.shape[-1]:].set(h)
+    hist = hist.reshape(batch, 1, halo_pad, LANES)
+    if n_blocks > 1:
+        xr = x_body.reshape(batch, n_blocks, block_rows, LANES)
+        prev_tails = xr[:, :-1, -halo_pad:, :]
+        x_halo = jnp.concatenate([hist, prev_tails], axis=1)
+    else:
+        x_halo = hist
+
+    y = _batched_call(block_rows)(x_body, x_halo, mats)
     return y.reshape(batch, -1)[:, :n].reshape(lead + (n,))

@@ -40,6 +40,8 @@ from radiocore_tpu.ops.fir import zero_phase_fir
 from radiocore_tpu.ops.demod import quadrature_demod
 from radiocore_tpu.ops.analytic import analytic_signal, pll_harmonic
 from radiocore_tpu.ops.deemphasis import deemphasis_init, deemphasis_apply
+from radiocore_tpu.ops.nco_pll import (pll_design, pll_init, nco_pll_track,
+                                       pll_subcarrier)
 
 State = Dict[str, jnp.ndarray]
 
@@ -51,14 +53,20 @@ PILOT_HI = 19e3 + 50
 
 
 def wbfm_init_state(output_size: int, rate: float = 75e-6,
-                    batch_shape: Tuple[int, ...] = ()) -> State:
-    """Initial de-emphasis state pytree (per station when batched)."""
+                    batch_shape: Tuple[int, ...] = (),
+                    pll: str = "analytic") -> State:
+    """Initial state pytree (per station when batched): de-emphasis
+    histories, plus the NCO loop state when ``pll='nco'``."""
     _, hist = deemphasis_init(output_size, rate, batch_shape=batch_shape)
-    return {"deemph_l": hist, "deemph_r": hist}
+    state = {"deemph_l": hist, "deemph_r": hist}
+    if pll == "nco":
+        state["pll"] = pll_init(batch_shape)
+    return state
 
 
 def make_wbfm_step(input_size: int, output_size: int,
-                   deemphasis: float = 75e-6, mode: str = "exact"
+                   deemphasis: float = 75e-6, mode: str = "exact",
+                   pll: str = "analytic", pll_loop_bw: float = 50.0
                    ) -> Callable[[jnp.ndarray, State], Tuple[jnp.ndarray, State]]:
     """Build the pure WBFM step function for static chunk sizes.
 
@@ -81,21 +89,40 @@ def make_wbfm_step(input_size: int, output_size: int,
     (BASELINE.md); asserted by test.
     """
     input_size, output_size = int(input_size), int(output_size)
+    if pll not in ("analytic", "nco"):
+        raise ValueError(f"unknown pll {pll!r}; 'analytic' or 'nco'")
+    if pll == "nco" and mode != "exact":
+        raise ValueError("pll='nco' requires mode='exact' (fast mode has "
+                         "no explicit pilot time series)")
     win = design.resample_window("hamm", input_size)
     bp_taps = design.bandpass_taps(PILOT_TAPS, PILOT_LO, PILOT_HI, input_size)
     de_taps, _ = deemphasis_init(output_size, deemphasis)
+    nco_gains = pll_design(input_size, 19e3, pll_loop_bw)
 
     def step_exact(iq: jnp.ndarray, state: State) -> Tuple[jnp.ndarray, State]:
         comp = quadrature_demod(iq)
         comp = resample_fft(comp, input_size, win)  # spectral hamming lowpass
 
         pilot = zero_phase_fir(comp, bp_taps)
-        subcarrier = pll_harmonic(analytic_signal(pilot), 2, "imag")
+        extra = {}
+        if pll == "nco":
+            # True feedback carrier tracking (accuracy mode): the loop
+            # bandwidth rejects pilot-band noise the analytic path
+            # passes straight into the subcarrier phase
+            # (reference semantics anchor: radiocore/analog/pll.py:25-58;
+            # the NCO is the promised accuracy upgrade, SURVEY §2.4).
+            rms = jnp.sqrt(jnp.mean(pilot * pilot, axis=-1, keepdims=True))
+            norm = pilot / jnp.maximum(rms, jnp.finfo(jnp.float32).tiny)
+            traj, pll_state = nco_pll_track(norm, nco_gains, state["pll"])
+            subcarrier = pll_subcarrier(traj, 2, "imag")
+            extra["pll"] = pll_state
+        else:
+            subcarrier = pll_harmonic(analytic_signal(pilot), 2, "imag")
         lmr = subcarrier * comp * STEREO_GAIN
 
         left = resample_fft(comp + lmr, output_size, win)
         right = resample_fft(comp - lmr, output_size, win)
-        return _finish(left, right, state)
+        return _finish(left, right, state, extra)
 
     # ---- fast mode constants (host-side) --------------------------------
     n = input_size
@@ -214,14 +241,16 @@ def make_wbfm_step(input_size: int, output_size: int,
                                         comp_trunc - lmr_trunc], axis=-2))
         return _finish(lr[..., 0, :], lr[..., 1, :], state)
 
-    def _finish(left, right, state):
+    def _finish(left, right, state, extra=None):
         l, hist_l = deemphasis_apply(left, de_taps, state["deemph_l"])
         r, hist_r = deemphasis_apply(right, de_taps, state["deemph_r"])
         audio = jnp.stack([l, r], axis=-1)
         audio = audio - jnp.mean(audio, axis=(-2, -1), keepdims=True)
         audio = jnp.clip(audio, -CLIP, CLIP)
-        return audio.astype(jnp.float32), {"deemph_l": hist_l,
-                                           "deemph_r": hist_r}
+        new_state = {"deemph_l": hist_l, "deemph_r": hist_r}
+        if extra:
+            new_state.update(extra)
+        return audio.astype(jnp.float32), new_state
 
     if mode == "exact":
         return step_exact
@@ -239,14 +268,16 @@ class WBFM:
 
     def __init__(self, input_size: Union[int, float],
                  output_size: Union[int, float],
-                 deemphasis: float = 75e-6, cuda: bool = False):
+                 deemphasis: float = 75e-6, cuda: bool = False,
+                 mode: str = "exact", pll: str = "analytic"):
         # ``cuda`` accepted for signature parity; dispatch is XLA's job.
         del cuda
         self._input_size = int(input_size)
         self._output_size = int(output_size)
         self._step = jax.jit(
-            make_wbfm_step(self._input_size, self._output_size, deemphasis))
-        self._state = wbfm_init_state(self._output_size, deemphasis)
+            make_wbfm_step(self._input_size, self._output_size, deemphasis,
+                           mode=mode, pll=pll))
+        self._state = wbfm_init_state(self._output_size, deemphasis, pll=pll)
 
     @property
     def channels(self) -> int:

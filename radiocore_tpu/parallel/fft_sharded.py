@@ -82,6 +82,63 @@ def _fourstep_local(x_block: jnp.ndarray, n1: int, n2: int,
     return _fft.fft(y)                         # Z[k1_local, k2]
 
 
+def _fourstep_local_blocks(x_block: jnp.ndarray, n1: int, n2: int,
+                           axis_name: str) -> jnp.ndarray:
+    """Per-shard body: contiguous SAMPLE block → contiguous SPECTRUM block.
+
+    Extends :func:`_fourstep_local` with the classic six-step FFT's final
+    transpose (one more ``all_to_all``), so the output is the standard-
+    order DFT in contiguous per-device blocks: device ``d`` returns
+    ``X[d·n/D : (d+1)·n/D]`` flat. This is the layout the fused
+    pipeline's channel extraction consumes WITHOUT ever materializing
+    the full band spectrum on any device (SURVEY.md §2.5 sharded band
+    FFT; reference hot loop: ``radiocore/tools/tuner.py:137-138``).
+    """
+    z = _fourstep_local(x_block.reshape(-1, n2), n1, n2, axis_name)
+    shards = lax.axis_size(axis_name)
+    rows = n1 // shards          # my k1 rows in z
+    cols2 = n2 // shards         # my k2 columns after the transpose
+    # all_to_all: send k2 chunk q to device q; receive every device's
+    # k1 rows for MY k2 chunk → [p, r, c] = Z[p·rows + r, me·cols2 + c].
+    z3 = lax.all_to_all(z.reshape(rows, shards, cols2), axis_name,
+                        split_axis=1, concat_axis=0, tiled=False)
+    zt = z3.reshape(n1, cols2)                 # [k1, c]
+    # Flat local offset = c·n1 + k1 ↔ global k = k1 + n1·(me·cols2 + c).
+    return jnp.moveaxis(zt, 0, -1).reshape(-1)
+
+
+def split_for_shards(n: int, shards: int):
+    """Pick ``n = n1·n2`` with both factors divisible by ``shards``,
+    as balanced as the factorization allows; None when impossible."""
+    if shards <= 0 or n % (shards * shards):
+        return None
+    rest = n // (shards * shards)
+    a = int(np.sqrt(rest))
+    while a >= 1:
+        if rest % a == 0:
+            return shards * a, shards * (rest // a)
+        a -= 1
+    return None
+
+
+def fft_sharded_blocks(x: jnp.ndarray, mesh: Mesh,
+                       axis_name: str = TIME) -> jnp.ndarray:
+    """Distributed standard-order FFT: input AND output sharded over
+    ``axis_name`` in contiguous blocks (flat, natural bin order)."""
+    n = x.shape[-1]
+    shards = mesh.shape[axis_name]
+    split = split_for_shards(n, shards)
+    if split is None:
+        raise ValueError(
+            f"no n1·n2 = {n} split with both factors divisible by {shards}")
+    n1, n2 = split
+    body = functools.partial(_fourstep_local_blocks, n1=n1, n2=n2,
+                             axis_name=axis_name)
+    fn = jax.shard_map(body, mesh=mesh, in_specs=P(axis_name),
+                       out_specs=P(axis_name))
+    return fn(x)
+
+
 def fft_sharded_fourstep(x: jnp.ndarray, mesh: Mesh, n1: int,
                          axis_name: str = TIME) -> jnp.ndarray:
     """Explicit distributed FFT; returns X in (k1, k2) matrix layout,

@@ -25,8 +25,95 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from radiocore_tpu.models.wbfm import make_wbfm_step, wbfm_init_state
 from radiocore_tpu.ops import fft as _fft
-from radiocore_tpu.ops.channelize import make_extractor
+from radiocore_tpu.ops.channelize import extraction_plan, make_extractor
 from radiocore_tpu.parallel.mesh import STATIONS, TIME
+
+
+def _roll_sharded(block: jnp.ndarray, shift: int, n: int,
+                  axis_name: str) -> jnp.ndarray:
+    """Global circular roll of a block-sharded flat array, inside
+    shard_map: device d's output is ``x[(d·B + shift) % n : … + B]``.
+
+    The shift splits each local block into at most two pieces routed to
+    (possibly) two neighbors — two ``ppermute``s, no gather.
+    """
+    d = jax.lax.axis_size(axis_name)
+    b = n // d
+    q, r = divmod(int(shift) % n, b)
+    if r == 0:
+        if q == 0:
+            return block
+        perm = [(e, (e - q) % d) for e in range(d)]
+        return jax.lax.ppermute(block, axis_name, perm)
+    perm_hi = [(e, (e - q) % d) for e in range(d)]
+    perm_lo = [(e, (e - q - 1) % d) for e in range(d)]
+    high = jax.lax.ppermute(block[r:], axis_name, perm_hi)
+    low = jax.lax.ppermute(block[:r], axis_name, perm_lo)
+    return jnp.concatenate([high, low])
+
+
+def _make_distributed_fused(mesh: Mesh, n_band: int,
+                            offsets_hz: Sequence[int], station_chunk: int):
+    """Distributed band FFT + channel extraction as one shard_map.
+
+    Returns a jitted ``band (n,) → stations (C, m)`` function sharded in
+    contiguous blocks over ALL mesh devices, or None when the plan
+    doesn't qualify (needs a uniform critically-sampled channel grid,
+    ``C % D == 0``, and an ``n = n1·n2`` split with both factors
+    divisible by D). Replaces the reference's replicated full-band FFT
+    hot loop (``radiocore/tools/tuner.py:137-138``) with the classic
+    six-step distributed FFT (3 all_to_alls) + a 2-ppermute spectrum
+    roll + local windowed extraction — no device ever materializes the
+    full band.
+    """
+    from radiocore_tpu.parallel.fft_sharded import (
+        _fourstep_local_blocks, split_for_shards)
+
+    n = int(n_band)
+    m = int(station_chunk)
+    c = len(offsets_hz)
+    d = int(mesh.devices.size)
+    shifts = tuple(int(-o) for o in offsets_hz)
+    starts, w_out, w_fix, m2, _run = extraction_plan(n, shifts, m)
+    uniform = (c > 1 and all((starts[i] - starts[0]) % n == (i * m) % n
+                             for i in range(c)))
+    split = split_for_shards(n, d)
+    if not (d > 1 and uniform and n == c * m and c % d == 0
+            and split is not None):
+        return None
+    n1, n2 = split
+    c_loc = c // d
+    a0 = int(starts[0])
+    neg = m - m2
+    s_fac = n / m
+    axis = "fftax"
+    # Flat 1-axis view of the same devices in row-major mesh order: the
+    # resulting block sharding is identical (same HloSharding) to
+    # ``P((STATIONS, TIME))`` on the caller's 2-D mesh, so downstream
+    # jits with 2-D-mesh shardings accept the outputs without resharding.
+    flat_mesh = Mesh(mesh.devices.reshape(-1), (axis,))
+
+    def body(block: jnp.ndarray) -> jnp.ndarray:
+        spec = _fourstep_local_blocks(block, n1, n2, axis)  # my k block
+        rolled = _roll_sharded(spec, a0, n, axis)
+        # One halo bin: the right neighbor's first rolled bin (wraps).
+        halo = jax.lax.ppermute(
+            rolled[:1], axis, [(e, (e - 1) % d) for e in range(d)])
+        rows = rolled.reshape(c_loc, m)
+        nxt = jnp.concatenate([rows[1:, :1], halo[None, :]], axis=0)
+        # Same reorder/window/fix math as ops.channelize.extract_uniform.
+        if m % 2 == 0:
+            pos = jnp.concatenate([rows[:, m // 2:], nxt], axis=-1)
+            y = jnp.concatenate([pos, rows[:, 1:m // 2]], axis=-1) * w_out
+            y = y.at[:, m2 - 1].add(rows[:, 0] * w_fix)
+        else:
+            pos = jnp.concatenate([rows[:, neg:], nxt], axis=-1)[:, :m2]
+            y = jnp.concatenate([pos, rows[:, :neg]], axis=-1) * w_out
+        y = jax.lax.optimization_barrier(y)
+        return _fft.ifft(y / s_fac)                        # (c_loc, m)
+
+    return jax.jit(jax.shard_map(body, mesh=flat_mesh,
+                                 in_specs=P(axis), out_specs=P(axis, None)))
 
 
 def make_multi_station_step(
@@ -77,6 +164,28 @@ def make_multi_station_step(
                              batch_shape=(n_stations,))
 
     if mesh is not None:
+        dist = _make_distributed_fused(
+            mesh, n_band, offsets_hz, station_chunk)
+        if dist is not None:
+            # Fully distributed front-end: six-step band FFT + local
+            # channel extraction in ONE shard_map over all devices — no
+            # device ever holds the full band spectrum (per-device peak
+            # is ~1/D of the band), and the demod shards stations over
+            # every device too.
+            all_ax = NamedSharding(mesh, P((STATIONS, TIME), None))
+            all_ax3 = NamedSharding(mesh, P((STATIONS, TIME), None, None))
+            state_sh = {"deemph_l": all_ax, "deemph_r": all_ax}
+            wbfm_j = jax.jit(wbfm_stage,
+                             out_shardings=(all_ax3, state_sh))
+            state0 = jax.device_put(state0, state_sh)
+
+            def step(band_iq: jnp.ndarray, state: dict):
+                return wbfm_j(dist(band_iq), state)
+
+            return step, state0
+
+        # Fallback (non-uniform channel plan or indivisible sizes):
+        # gather the time-sharded band to replicated before the FFT.
         st2 = NamedSharding(mesh, P(STATIONS, None))
         st3 = NamedSharding(mesh, P(STATIONS, None, None))
         tm = NamedSharding(mesh, P(TIME))
@@ -98,8 +207,15 @@ def make_multi_station_step(
     # decomposition's transposes propagate tiled layouts that degrade
     # the extraction slices into gather-like loops (~129 ms vs ~19 ms
     # at 16×250 kS/s). A jit boundary pins canonical layouts.
+    # The fused program contains FFTs at the band, station AND audio
+    # sizes (the demod's irfft at audio_chunk; in exact mode also the
+    # decimation irfft). A planner-decomposed size anywhere in a fused
+    # program re-triggers the tiled-layout slowdown (~129 vs 19 ms
+    # class), so every size must lower natively; fast mode's envelope
+    # rate n2 is pow2 by construction and needs no check.
     all_native = all(_fft._plan(s) is None
-                     for s in {int(n_band), int(station_chunk)})
+                     for s in {int(n_band), int(station_chunk),
+                               int(audio_chunk)})
     if all_native:
         @jax.jit
         def step(band_iq: jnp.ndarray, state: dict):

@@ -70,9 +70,25 @@ class Buffer:
 
     @contextmanager
     def consume(self):
-        """Yield the raw array, holding the mutex when locking is enabled."""
+        """Yield a writable array; writes persist after the context exits.
+
+        Host buffers yield the raw ndarray (the reference contract,
+        reference: ``tests/test_buffer.py:8-30``). Device buffers yield a
+        host-backed staging COPY — a ``jax.Array`` is immutable, so
+        in-place writes against it would be silently dropped — and
+        upload it back on exit. For pure reads of a device buffer use
+        ``.data`` directly (no staging round-trip).
+        """
         if self._mtx is not None:
             with self._mtx:
-                yield self._array
+                yield from self._consume_inner()
         else:
+            yield from self._consume_inner()
+
+    def _consume_inner(self):
+        if not self._device:
             yield self._array
+            return
+        staging = np.array(self._array)  # owning copy: always writable
+        yield staging
+        self._array = jnp.asarray(staging)

@@ -52,6 +52,13 @@ class Channel:
         return int(self.center_frequency).to_bytes(4, byteorder="little")
 
 
+# ONE jit wrapper for the band FFT: a fresh ``jax.jit(_fft.fft)`` per
+# 1-second chunk would defeat the dispatch fast path in the serving loop
+# (the compiled program is cached, but the wrapper's signature lookup
+# isn't).
+_jitted_fft = jax.jit(_fft.fft)
+
+
 @functools.lru_cache(maxsize=32)
 def _make_extract_all(n: int, shifts: tuple, bandwidth: int) -> Callable:
     """Jitted all-channels extractor for a static band plan.
@@ -136,7 +143,7 @@ class Tuner:
     def load(self, input_signal) -> None:
         """FFT the full-band 1-second chunk (reference: tuner.py:126-138)."""
         sig = to_device_c64(input_signal)
-        self._spectrum = jax.jit(_fft.fft)(sig)
+        self._spectrum = _jitted_fft(sig)
 
     def run(self, channel_index: int) -> jnp.ndarray:
         """Extract one channel's baseband IQ (parity path).

@@ -123,16 +123,50 @@ def test_multi_station_pipeline_sharded_matches():
         n_band, offsets, station_chunk, audio_chunk)
     want, _ = step(band, state)
 
+    # Uniform critically-sampled plan → the DISTRIBUTED path engages:
+    # six-step band FFT + local extraction in shard_map, no device holds
+    # the full band. Tolerance 1e-4: the distributed FFT's f32 twiddle
+    # rounding differs from the single-device native FFT at the ~3e-5
+    # level on ±1-clipped audio.
     mesh = make_radio_mesh(stations=8, time=1)
     step_sh, state_sh = make_multi_station_step(
         n_band, offsets, station_chunk, audio_chunk, mesh=mesh)
     got, _ = step_sh(band, state_sh)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
-    # 2-D mesh: stations × time — band input time-sharded, XLA partitions
-    # the band FFT; audio/state sharded over stations.
+    # 2-D mesh: stations × time — the distributed front-end shards over
+    # BOTH axes (flat device order), demod stations over all devices.
     mesh2 = make_radio_mesh(stations=4, time=2)
     step_2d, state_2d = make_multi_station_step(
         n_band, offsets, station_chunk, audio_chunk, mesh=mesh2)
     got2, _ = step_2d(band, state_2d)
-    np.testing.assert_allclose(np.asarray(got2), np.asarray(want), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want), atol=1e-4)
+
+
+def test_distributed_front_end_engages_and_matches_extractor():
+    """The shard_map front-end must produce exactly what the single-
+    device extractor produces (same windows/fix/ordering), and must
+    actually engage for the uniform plan."""
+    from radiocore_tpu.ops import fft as _fft
+    from radiocore_tpu.ops.channelize import make_extractor
+    from radiocore_tpu.parallel.pipeline import _make_distributed_fused
+
+    n_band, m = 400_000, 50_000
+    offsets = [-175_000, -125_000, -75_000, -25_000,
+               25_000, 75_000, 125_000, 175_000]
+    mesh = make_radio_mesh(stations=4, time=2)
+    dist = _make_distributed_fused(mesh, n_band, offsets, m)
+    assert dist is not None, "uniform plan must take the distributed path"
+
+    band = (RNG.standard_normal(n_band) +
+            1j * RNG.standard_normal(n_band)).astype(np.complex64) * 0.05
+    extract = make_extractor(n_band, tuple(-o for o in offsets), m)
+    want = np.asarray(extract(_fft.fft(jnp.asarray(band))))
+    got = np.asarray(dist(jnp.asarray(band)))
+    scale = np.max(np.abs(want))
+    np.testing.assert_allclose(got, want, atol=3e-4 * scale)
+
+    # Non-uniform plan (odd spacing) must decline.
+    bad = [-175_000, -120_000, -75_000, -25_000,
+           25_000, 75_000, 125_000, 175_000]
+    assert _make_distributed_fused(mesh, n_band, bad, m) is None

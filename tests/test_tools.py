@@ -17,6 +17,19 @@ def test_buffer_consume_persists():
         assert np.all(arr[4:] == 0)
 
 
+def test_buffer_device_consume_persists():
+    # Device buffers stage through a host copy so the reference's
+    # write-persistence contract holds despite jax.Array immutability
+    # (reference: tests/test_buffer.py:8-30).
+    buf = Buffer(16, dtype="float32", device=True)
+    with buf.consume() as arr:
+        arr[:4] = 1.5
+    with buf.consume() as arr:
+        assert np.all(arr[:4] == 1.5)
+        assert np.all(arr[4:] == 0)
+    assert np.all(np.asarray(buf.data)[:4] == 1.5)
+
+
 def test_buffer_lock():
     buf = Buffer(8, lock=True)
     assert not buf.is_locked
