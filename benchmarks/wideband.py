@@ -105,29 +105,41 @@ def main(argv=None) -> None:
             ch = extract(_fft.fft(band))          # (m, chunk)
             return jnp.swapaxes(ch, -1, -2), h    # (chunk, m) like PFB
 
-    band = make_band(jax.random.key(0))
-    jax.block_until_ready(band)
+    # Honest-timing harness (bench.py protocol; evidence in
+    # benchmarks/diag_relay.py): (a) a FRESH random band per call —
+    # identical repeated (program, args) calls get deduped by the relay;
+    # (b) a scalar derived from the EXPENSIVE output (the channel
+    # matrix, not just the trivial history slice) folded at a
+    # non-underflowing scale (1e-3, NOT 1e-30 — f32 eps is ~1.2e-7)
+    # into the next call's input; (c) float() hard barriers — the relay
+    # has been observed returning from block_until_ready before
+    # deferred work runs; (d) min over epochs that clear the HBM
+    # roofline floor.
+    iters = args.iters
+    bands = [make_band(jax.random.key(i)) for i in range(iters + 1)]
+    jax.block_until_ready(bands)
 
-    # Honest-timing harness (see CLAUDE.md): (a) per-call scalar jitter
-    # — identical repeated calls can be deduped by the TPU relay; (b)
-    # chain a scalar DERIVED FROM THE EXPENSIVE OUTPUT into the next
-    # call — the PFB history alone is a trivial input slice, so a lazy
-    # runtime could elide the never-consumed channel matrix entirely.
     @jax.jit
-    def varied(b, h, j):
-        ch, h2 = step(b * (1.0 + j), h)
-        return ch, h2, jnp.real(ch.ravel()[0])
+    def varied(b, h, c):
+        ch, h2 = step(b * (1.0 + c * 1e-3), h)
+        chk = jnp.mean(jnp.abs(ch.ravel()[::4096])) \
+            + jnp.real(ch.ravel()[0]) * 1e-3
+        return ch, h2, chk
 
-    ch, h, chk = varied(band, hist, jnp.float32(0))
-    jax.block_until_ready((ch, chk))
+    ch, h, chk = varied(bands[-1], hist, jnp.float32(0))
+    float(chk)  # compile + hard drain
 
-    t0 = time.perf_counter()
-    for i in range(args.iters):
-        ch, h, chk = varied(band, h, chk * 1e-30 + (i + 1) * 1e-7)
-    jax.block_until_ready((ch, chk))
-    dt = (time.perf_counter() - t0) / args.iters
+    epoch_means = []
+    for _ in range(3):
+        float(chk)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            ch, h, chk = varied(bands[i], h, chk)
+        float(chk)
+        epoch_means.append((time.perf_counter() - t0) / iters)
 
-    msps = n / dt / 1e6
+    dt = min(epoch_means)
+    suspect = False
 
     # HBM speed-of-light fraction (BASELINE.md: "FIR + FFT kernel
     # throughput ~HBM-bandwidth"). Minimum HBM traffic for the fused
@@ -143,6 +155,17 @@ def main(argv=None) -> None:
     if peak and args.time_shards > 1:
         peak *= args.time_shards  # aggregate over participating chips
     min_bytes = 4 * n * 8
+    if peak:
+        # Roofline guard (bench.py): a step faster than the minimum HBM
+        # traffic at peak bandwidth is physically impossible — refuse it.
+        floor = min_bytes / peak
+        valid = [d for d in epoch_means if d >= floor]
+        if valid:
+            dt = min(valid)
+        else:
+            dt = max(epoch_means)
+            suspect = True
+    msps = n / dt / 1e6
     result = {
         "metric": "wideband_fir_pfb_msamples_per_s",
         "value": round(msps, 1),
@@ -153,10 +176,13 @@ def main(argv=None) -> None:
         "channelizer": "pfb" if args.time_shards > 0 else args.channelizer,
         "time_shards": args.time_shards,
         "min_hbm_gbytes_per_s": round(min_bytes / dt / 1e9, 1),
+        "epoch_ms": [round(d * 1e3, 2) for d in epoch_means],
     }
     if peak:
         result["hbm_speed_of_light_fraction"] = round(
             min_bytes / dt / peak, 3)
+    if suspect:
+        result["suspect"] = True
     print(json.dumps(result))
 
 

@@ -58,17 +58,20 @@ class SyntheticFmSource:
         n_st = int(self.station_rate * seconds)
         t0 = self._chunk_idx * seconds
         self._chunk_idx += 1
-        band = np.zeros(n_band, np.complex128)
         ratio = n_band / n_st
+        h = n_st // 2
+        # Upconversion by an integer-bin offset (offsets are stored as
+        # ints: Hz == bin under the one-second convention) is a spectrum
+        # ROLL, so the whole band needs ONE inverse FFT instead of one
+        # per station (matters at the 100+-station config-5 scale).
+        band_spec = np.zeros(n_band, np.complex128)
         for off, (fl, fr) in zip(self.offsets_hz, self.tones):
-            iq = self._station_iq(n_st, fl, fr, t0)
-            spec = np.fft.fft(iq)
-            up = np.zeros(n_band, np.complex128)
-            h = n_st // 2
-            up[:h] = spec[:h]
-            up[-h:] = spec[-h:]
-            carrier = np.exp(2j * np.pi * off * np.arange(n_band) / n_band)
-            band += np.fft.ifft(up) * ratio * carrier
+            spec = np.fft.fft(self._station_iq(n_st, fl, fr, t0))
+            lo = np.arange(off - h, off) % n_band
+            hi = np.arange(off, off + h) % n_band
+            band_spec[hi] += spec[:h]
+            band_spec[lo] += spec[-h:]
+        band = np.fft.ifft(band_spec) * ratio
         band += 1e-4 * (self._rng.standard_normal(n_band)
                         + 1j * self._rng.standard_normal(n_band))
         return (band / max(len(self.offsets_hz), 1)).astype(np.complex64)

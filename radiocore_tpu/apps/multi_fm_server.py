@@ -27,6 +27,7 @@ from radiocore_tpu.models.fm import FM
 from radiocore_tpu.models.mfm import MFM
 from radiocore_tpu.models.wbfm import WBFM
 from radiocore_tpu.runtime.metrics import Metrics
+from radiocore_tpu.runtime.profiling import StageTimer
 from radiocore_tpu.tools.tuner import Tuner
 from radiocore_tpu.apps.iq import SyntheticFmSource, IQFileSource, WavSink
 
@@ -55,25 +56,33 @@ def build_tuner(stations: Sequence[StationSpec], audio_rate: float,
 
 def serve(tuner: Tuner, source, seconds: float,
           publisher=None, sinks: Optional[List] = None,
-          metrics: Optional[Metrics] = None) -> None:
+          metrics: Optional[Metrics] = None,
+          timer: Optional[StageTimer] = None) -> None:
     """Main DSP loop: load 1 s, extract all channels, demod, publish."""
     metrics = metrics or Metrics()
+    timer = timer or StageTimer()
     homogeneous = len({int(c.bandwidth) for c in tuner.channels()}) == 1
     for _ in range(int(round(seconds))):
-        chunk = source.read_chunk(1.0)
+        with timer.stage("source"):
+            chunk = source.read_chunk(1.0)
         t0 = time.monotonic()
-        tuner.load(chunk)
+        with timer.stage("tuner_load"):
+            tuner.load(chunk)
         if homogeneous:
-            stations_iq = tuner.run_all()
+            with timer.stage("extract_all"):
+                stations_iq = tuner.run_all()
         for i, channel in enumerate(tuner.channels()):
-            iq = stations_iq[i] if homogeneous else tuner.run(i)
-            audio = channel.demodulator.run(iq)
-            if publisher is not None:
-                publisher.send_multipart(
-                    [channel.address_bytes,
-                     np.ascontiguousarray(audio, np.float32).tobytes()])
-            if sinks:
-                sinks[i].write(audio)
+            with timer.stage("extract"):
+                iq = stations_iq[i] if homogeneous else tuner.run(i)
+            with timer.stage("demod"):
+                audio = channel.demodulator.run(iq)
+            with timer.stage("publish"):
+                if publisher is not None:
+                    publisher.send_multipart(
+                        [channel.address_bytes,
+                         np.ascontiguousarray(audio, np.float32).tobytes()])
+                if sinks:
+                    sinks[i].write(audio)
         metrics.incr("chunks")
         metrics.gauge("chunk_seconds", time.monotonic() - t0)
 
@@ -82,7 +91,8 @@ def serve_fused(specs: Sequence[StationSpec], band_rate: float,
                 audio_rate: float, source, seconds: float,
                 publisher=None, sinks: Optional[List] = None,
                 metrics: Optional[Metrics] = None,
-                mode: str = "fast") -> None:
+                mode: str = "fast",
+                timer: Optional[StageTimer] = None) -> None:
     """All-WBFM serving through the single fused jitted step.
 
     One XLA program per second: band FFT → all-station extraction →
@@ -92,6 +102,7 @@ def serve_fused(specs: Sequence[StationSpec], band_rate: float,
     from radiocore_tpu.parallel.pipeline import make_multi_station_step
 
     metrics = metrics or Metrics()
+    timer = timer or StageTimer()
     n_band = int(band_rate)
     center = (min(s.frequency for s in specs) +
               max(s.frequency for s in specs)) / 2
@@ -101,25 +112,30 @@ def serve_fused(specs: Sequence[StationSpec], band_rate: float,
         n_band, offsets, bw, int(audio_rate), mode=mode)
     topics = [int(s.frequency).to_bytes(4, "little") for s in specs]
 
-    for _ in range(int(round(seconds))):
-        chunk = source.read_chunk(1.0)
+    from radiocore_tpu.runtime.ingest import IngestPipe
+    pipe = IngestPipe(depth=2)  # overlap chunk N+1's H2D with N's demod
+
+    def host_chunks():
+        for _ in range(int(round(seconds))):
+            with timer.stage("source"):
+                yield source.read_chunk(1.0)
+
+    for band in pipe.stream(host_chunks()):
         t0 = time.monotonic()
-        audio_all, state = step(jnp_asarray_c64(chunk), state)
-        audio_np = np.asarray(audio_all)
-        for i, topic in enumerate(topics):
-            if publisher is not None:
-                publisher.send_multipart(
-                    [topic, np.ascontiguousarray(
-                        audio_np[i], np.float32).tobytes()])
-            if sinks:
-                sinks[i].write(audio_np[i])
+        with timer.stage("fused_step"):
+            audio_all, state = step(band, state)
+        with timer.stage("fetch", sync_value=audio_all):
+            audio_np = np.asarray(audio_all)
+        with timer.stage("publish"):
+            for i, topic in enumerate(topics):
+                if publisher is not None:
+                    publisher.send_multipart(
+                        [topic, np.ascontiguousarray(
+                            audio_np[i], np.float32).tobytes()])
+                if sinks:
+                    sinks[i].write(audio_np[i])
         metrics.incr("chunks")
         metrics.gauge("chunk_seconds", time.monotonic() - t0)
-
-
-def jnp_asarray_c64(x):
-    from radiocore_tpu.runtime.transfer import to_device_c64
-    return to_device_c64(x)
 
 
 def main(argv=None) -> None:
@@ -164,12 +180,15 @@ def main(argv=None) -> None:
                  for i in range(len(specs))]
 
     metrics = Metrics()
+    timer = StageTimer()
     try:
         if args.fused:
             serve_fused(specs, tuner.input_bandwidth, args.audio_rate,
-                        source, args.seconds, publisher, sinks, metrics)
+                        source, args.seconds, publisher, sinks, metrics,
+                        timer=timer)
         else:
-            serve(tuner, source, args.seconds, publisher, sinks, metrics)
+            serve(tuner, source, args.seconds, publisher, sinks, metrics,
+                  timer=timer)
     finally:
         if sinks:
             for s in sinks:
@@ -179,6 +198,10 @@ def main(argv=None) -> None:
     snap = metrics.snapshot()
     print(f"served {int(snap['chunks'])} chunks x {len(specs)} stations, "
           f"last chunk {snap['chunk_seconds']:.3f}s")
+    stages = ", ".join(f"{k} {v['mean_ms']:.1f} ms"
+                       for k, v in sorted(timer.report().items()))
+    if stages:
+        print(f"stage profile: {stages}")
 
 
 if __name__ == "__main__":

@@ -14,7 +14,6 @@ Run headless:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import threading
 import time
 
@@ -23,31 +22,43 @@ import numpy as np
 from radiocore_tpu.models.decimate import Decimate
 from radiocore_tpu.models.wbfm import WBFM
 from radiocore_tpu.models.mfm import MFM
+from radiocore_tpu.runtime.config import PipelineConfig, StationConfig
+from radiocore_tpu.runtime.ingest import IngestPipe
 from radiocore_tpu.runtime.metrics import Metrics
+from radiocore_tpu.runtime.profiling import StageTimer
 from radiocore_tpu.tools.ringbuffer import RingBuffer
 from radiocore_tpu.apps.iq import SyntheticFmSource, IQFileSource, WavSink
 
+# The app is driven by the framework-wide frozen config tree
+# (runtime/config.py), not a local dataclass; the reference's per-example
+# Config blocks (reference: examples/receive_fm.py:12-21) map onto it.
+Config = PipelineConfig
 
-@dataclasses.dataclass
-class Config:
-    input_rate: float = 2.4e6     # config 1/2 of BASELINE.md
-    demod_rate: float = 240e3
-    audio_rate: float = 48e3
-    frequency: float = 96.9e6
-    deemphasis: float = 75e-6
-    stereo: bool = True
+
+def _is_stereo(config: PipelineConfig) -> bool:
+    return not config.stations or config.stations[0].mode == "wbfm"
 
 
 def run(config: Config, source, sink, seconds: float,
-        metrics: Metrics | None = None) -> None:
-    """Pump ``seconds`` of IQ through the pipeline into ``sink``."""
+        metrics: Metrics | None = None,
+        timer: StageTimer | None = None,
+        ingest_depth: int = 2) -> None:
+    """Pump ``seconds`` of IQ through the pipeline into ``sink``.
+
+    H2D staging is double-buffered (``runtime/ingest.py``): chunk N+1's
+    transfer is issued before chunk N's demod result is consumed, so the
+    DMA overlaps compute (``ingest_depth=1`` restores the synchronous
+    path). ``timer`` (a :class:`StageTimer`) records a per-stage wall
+    profile reported by the CLI.
+    """
     metrics = metrics or Metrics()
-    in_chunk = int(config.input_rate)
+    timer = timer or StageTimer()
+    in_chunk = config.chunk_size
     ring = RingBuffer(in_chunk * 3, dtype="complex64", print_overflow=False)
 
-    decimate = Decimate(config.input_rate, config.demod_rate)
-    demod_cls = WBFM if config.stereo else MFM
-    demod = demod_cls(config.demod_rate, config.audio_rate,
+    decimate = Decimate(in_chunk, config.demod_chunk)
+    demod_cls = WBFM if _is_stereo(config) else MFM
+    demod = demod_cls(config.demod_chunk, config.audio_chunk,
                       deemphasis=config.deemphasis)
 
     n_chunks = int(round(seconds))
@@ -63,18 +74,34 @@ def run(config: Config, source, sink, seconds: float,
     prod = threading.Thread(target=producer, daemon=True)
     prod.start()
 
-    staging = np.empty(in_chunk, np.complex64)
+    # ingest_depth+1 staging buffers: a buffer is overwritten only after
+    # its in-flight transfer's consumer (the audio write) has completed.
+    pipe = IngestPipe(depth=ingest_depth)
+    stagings = [np.empty(in_chunk, np.complex64)
+                for _ in range(ingest_depth + 1)]
+
+    def host_chunks():
+        got = 0
+        while got < n_chunks:
+            buf = stagings[got % len(stagings)]
+            with timer.stage("ring_get"):
+                if ring.get(buf, timeout=3.0) is None:
+                    if not prod.is_alive():
+                        return
+                    continue
+            got += 1
+            yield buf
+
     t_start = time.monotonic()
     done = 0
     try:
-        while done < n_chunks:
-            if ring.get(staging, timeout=3.0) is None:
-                if not prod.is_alive():
-                    break
-                continue
-            station = decimate.run(staging)
-            audio = demod.run(station)
-            sink.write(audio)
+        for station_iq in pipe.stream(host_chunks()):
+            with timer.stage("decimate"):
+                station = decimate.run(station_iq)
+            with timer.stage("demod"):
+                audio = demod.run(station)
+            with timer.stage("sink", sync_value=audio):
+                sink.write(audio)
             done += 1
             metrics.incr("chunks_out")
             metrics.gauge("ring_occupancy_pct",
@@ -110,9 +137,11 @@ def main(argv=None) -> None:
     parser.add_argument("--out", default="receive_fm.wav")
     args = parser.parse_args(argv)
 
-    config = Config(input_rate=args.input_rate, demod_rate=args.demod_rate,
-                    audio_rate=args.audio_rate, frequency=args.frequency,
-                    stereo=not args.mono)
+    config = PipelineConfig(
+        input_rate=args.input_rate, demod_rate=args.demod_rate,
+        audio_rate=args.audio_rate, center_frequency=args.frequency,
+        stations=(StationConfig(args.frequency, args.demod_rate,
+                                "mfm" if args.mono else "wbfm"),))
 
     if args.soapy is not None:
         from radiocore_tpu.apps.iq import SoapySdrSource
@@ -126,18 +155,23 @@ def main(argv=None) -> None:
                                    int(config.demod_rate))
 
     metrics = Metrics()
+    timer = StageTimer()
     if args.play:
         from radiocore_tpu.apps.iq import AudioDeviceSink
         sink_cm = AudioDeviceSink(int(config.audio_rate),
-                                  channels=2 if config.stereo else 1)
+                                  channels=2 if _is_stereo(config) else 1)
     else:
         sink_cm = WavSink(args.out, int(config.audio_rate))
     with sink_cm as sink:
-        run(config, source, sink, args.seconds, metrics)
+        run(config, source, sink, args.seconds, metrics, timer=timer)
     snap = metrics.snapshot()
     dest = "audio device" if args.play else args.out
     print(f"wrote {dest}: {int(snap.get('chunks_out', 0))} s audio, "
           f"realtime x{snap.get('realtime_factor', 0):.2f}")
+    stages = ", ".join(f"{k} {v['mean_ms']:.1f} ms"
+                       for k, v in sorted(timer.report().items()))
+    if stages:
+        print(f"stage profile: {stages}")
 
 
 if __name__ == "__main__":

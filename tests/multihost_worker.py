@@ -13,12 +13,16 @@ transport is ZeroMQ PUB/SUB, reference ``examples/multi_fm_server.py:
 116-120``); this is the TPU-native replacement (SURVEY.md §2.5).
 
 argv: <process_id> <num_processes> <coordinator_address> <local_devices>
-Prints one line ``CHECKSUM <mean-abs-audio> HALO <mean-abs-fir>`` on
-success; asserts otherwise.
+      [n_stations station_chunk audio_chunk timed_iters]
+Prints one line ``CHECKSUM <mean-abs-audio> HALO <mean-abs-fir>``
+(plus `` SPS <global-samples/s> CHIPS <n>`` when timed_iters > 0) on
+success; asserts otherwise. The optional tail arguments run the config-5
+rehearsal shape (e.g. 128 stations) instead of the default tiny world.
 """
 
 import os
 import sys
+import time
 
 
 def main() -> None:
@@ -26,6 +30,10 @@ def main() -> None:
     nprocs = int(sys.argv[2])
     coord = sys.argv[3]
     local = int(sys.argv[4])
+    arg_stations = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+    arg_chunk = int(sys.argv[6]) if len(sys.argv) > 6 else 0
+    arg_audio = int(sys.argv[7]) if len(sys.argv) > 7 else 0
+    timed_iters = int(sys.argv[8]) if len(sys.argv) > 8 else 0
 
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
@@ -59,10 +67,13 @@ def main() -> None:
     # Global mesh: time axis = nprocs so ppermute neighbors straddle the
     # process boundary; stations axis takes the rest.
     mesh = make_radio_mesh(time=nprocs)
-    n_stations = mesh.shape["stations"]
+    # The station COUNT is independent of the mesh: the fused pipeline
+    # shards stations over every device (config-5 rehearsal runs ≥100
+    # stations on this 8-device world).
+    n_stations = arg_stations or mesh.shape["stations"]
 
-    station_chunk = 50_000
-    audio_chunk = 10_000
+    station_chunk = arg_chunk or 50_000
+    audio_chunk = arg_audio or 10_000
     n_band = n_stations * station_chunk
     half = n_band // 2 - station_chunk // 2
     offsets = [int(-half + i * station_chunk) for i in range(n_stations)]
@@ -99,7 +110,27 @@ def main() -> None:
                        out_shardings=NamedSharding(mesh, P()))(y)
     halo_sum = float(halo_sum)
 
-    print(f"CHECKSUM {checksum:.10e} HALO {halo_sum:.10e}", flush=True)
+    line = f"CHECKSUM {checksum:.10e} HALO {halo_sum:.10e}"
+
+    if timed_iters > 0:
+        # Per-chip throughput at the rehearsal scale. No relay here
+        # (virtual CPU devices) so plain chained timing suffices; the
+        # audio-derived scalar still serializes the steps.
+        chk = jnp.float32(0)
+        jitter = jax.jit(lambda b, c: b * (1.0 + c * 1e-3))
+        chk_fn = jax.jit(lambda a: jnp.mean(jnp.abs(a)),
+                         out_shardings=NamedSharding(mesh, P()))
+        float(checksum)
+        t0 = time.perf_counter()
+        for _ in range(timed_iters):
+            audio, state = step(jitter(band, chk), state)
+            chk = chk_fn(audio)
+        float(chk)
+        dt = (time.perf_counter() - t0) / timed_iters
+        sps = n_stations * station_chunk / dt
+        line += f" SPS {sps:.6e} CHIPS {jax.device_count()}"
+
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
