@@ -31,7 +31,7 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
     from scipy import signal as sig
 
-    from radiocore_tpu.ops.fir import fir_causal
+    from radiocore_tpu.ops.fir import fir_causal, fir_overlap_save
     from radiocore_tpu.kernels.fir_pallas import fir_causal_pallas
 
     v = jax.jit(lambda v: v + 1)(jnp.ones(8))
@@ -62,10 +62,21 @@ def main(argv=None) -> int:
         hist = jax.jit(lambda k: 0.1 * jax.random.normal(
             k, (batch, taps_n - 1), jnp.float32))(jax.random.key(99))
 
+        # Reference: XLA conv (the production default) — except for wide
+        # taps at long signals, where XLA TPU's conv COMPILE wedges for
+        # tens of minutes (measured: (1, 1M, 257) never finished in 20+
+        # min; the Pallas half of the same program compiled in <1 s).
+        # There the FFT overlap-save form (identical math, verified vs
+        # scipy in tests/test_fir.py) stands in.
+        use_os = taps_n * n > 1e8  # (1M, 257) wedges; (262144, 129) is fine
+
         @jax.jit
-        def diff(x, hist, _t=taps):
+        def diff(x, hist, _t=taps, _os=use_os):
             a = fir_causal_pallas(x, _t, history=hist)
-            b = fir_causal(x, _t, history=hist, impl="conv")
+            if _os:
+                b = fir_overlap_save(x, _t, history=hist)
+            else:
+                b = fir_causal(x, _t, history=hist, impl="conv")
             return jnp.max(jnp.abs(a - b)), jnp.max(jnp.abs(b))
 
         err, ref = (float(s) for s in diff(x, hist))
