@@ -62,21 +62,20 @@ def main(argv=None) -> int:
         hist = jax.jit(lambda k: 0.1 * jax.random.normal(
             k, (batch, taps_n - 1), jnp.float32))(jax.random.key(99))
 
-        # Reference: XLA conv (the production default) — except for wide
-        # taps at long signals, where XLA TPU's conv COMPILE wedges for
-        # tens of minutes (measured: (1, 1M, 257) never finished in 20+
-        # min; the Pallas half of the same program compiled in <1 s).
-        # There the FFT overlap-save form (identical math, verified vs
-        # scipy in tests/test_fir.py) stands in.
-        use_os = taps_n * n > 1e8  # (1M, 257) wedges; (262144, 129) is fine
-
+        # Reference: the FFT overlap-save form — identical math, verified
+        # vs scipy float64 in tests/test_fir.py AND independently
+        # implemented (FFT vs MXU matmuls), so agreement bounds the
+        # kernel at f32 accuracy. The XLA conv is NOT usable as oracle:
+        # its compile wedges >20 min for ≥257 taps (any n) or with
+        # precision=HIGHEST, and at DEFAULT precision it rounds inputs
+        # to bf16 exactly like a DEFAULT-precision kernel would — the
+        # r1 soak's conv-vs-pallas agreement masked a real 2.9e-3 error
+        # vs float64 (found + fixed 2026-08-19: Precision.HIGHEST in
+        # the kernel dots).
         @jax.jit
-        def diff(x, hist, _t=taps, _os=use_os):
+        def diff(x, hist, _t=taps):
             a = fir_causal_pallas(x, _t, history=hist)
-            if _os:
-                b = fir_overlap_save(x, _t, history=hist)
-            else:
-                b = fir_causal(x, _t, history=hist, impl="conv")
+            b = fir_overlap_save(x, _t, history=hist)
             return jnp.max(jnp.abs(a - b)), jnp.max(jnp.abs(b))
 
         err, ref = (float(s) for s in diff(x, hist))
@@ -94,7 +93,7 @@ def main(argv=None) -> int:
     @jax.jit
     def vmapped_diff(xs):
         a = jax.vmap(lambda x: fir_causal_pallas(x[None], taps)[0])(xs)
-        b = fir_causal(xs, taps, impl="conv")
+        b = fir_overlap_save(xs, taps)
         return jnp.max(jnp.abs(a - b)), jnp.max(jnp.abs(b))
 
     err, ref = (float(s) for s in vmapped_diff(xs))

@@ -1,7 +1,8 @@
 """Transfer-free TPU acceptance drive.
 
-Runs the canonical verify drives (BASELINE.md configs 1-3) entirely on
-the accelerator: IQ is synthesized on device (ops/synth.py), demodulated
+Runs the canonical verify drives (BASELINE.md configs 1-3, plus an
+MXU-precision FIR cross-check as "config 4") entirely on the
+accelerator: IQ is synthesized on device (ops/synth.py), demodulated
 by the jitted pipelines, and tone SNRs are measured on device — only
 scalar values ever cross the host↔device boundary. This sidesteps the
 relay's intermittent large-transfer failures (runtime/transfer.py) and
@@ -31,7 +32,7 @@ def check(name: str, value: float, ok: bool, extra: dict | None = None):
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--configs", default="1,2,3")
+    parser.add_argument("--configs", default="1,2,3,4")
     args = parser.parse_args(argv)
     configs = {int(c) for c in args.configs.split(",")}
 
@@ -149,6 +150,31 @@ def main(argv=None) -> int:
         ok &= check("config3_8station_worst_tone_snr_db", worst,
                     worst > 15.0, {"compile_and_run_s": dt,
                                    "stations": n_st})
+
+    if 4 in configs:
+        # MXU-precision cross-check: Pallas banded-matmul FIR vs the FFT
+        # overlap-save form — two independent lowerings whose agreement
+        # bounds both at f32 accuracy. Guards the regression found on
+        # v5e (2026-08-19): DEFAULT-precision MXU contractions round f32
+        # inputs to bf16 (~3e-3 rel error vs a float64 oracle), which an
+        # XLA-conv reference can't see because conv rounds identically.
+        import numpy as np
+        from scipy import signal as sig
+        from radiocore_tpu.ops.fir import fir_overlap_save
+        from radiocore_tpu.kernels.fir_pallas import fir_causal_pallas
+
+        taps = sig.firwin(257, 0.25).astype(np.float32)
+
+        @jax.jit
+        def fir_crosscheck(key):
+            x = jax.random.normal(key, (4, 262_144), jnp.float32)
+            a = fir_causal_pallas(x, taps)
+            c = fir_overlap_save(x, taps)
+            return jnp.max(jnp.abs(a - c)) / jnp.max(jnp.abs(c))
+
+        rel = float(fir_crosscheck(jax.random.key(2)))
+        ok &= check("config4_fir_mxu_precision_rel_err", rel, rel < 1e-5,
+                    {"taps": 257, "note": "pallas vs fft-overlap-save"})
 
     print(json.dumps({"acceptance": "PASS" if ok else "FAIL"}), flush=True)
     return 0 if ok else 1

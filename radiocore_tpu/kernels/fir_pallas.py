@@ -60,13 +60,20 @@ def taps_to_band_matrices(taps: np.ndarray) -> np.ndarray:
 
 def _fir_kernel(x_ref, halo_ref, m_ref, o_ref, *, block_rows, n_halo,
                 halo_pad):
+    # HIGHEST precision: the v5e MXU's DEFAULT f32 matmul rounds inputs
+    # to bf16 (~3e-3 relative FIR error vs a float64 oracle — measured
+    # on hardware; invisible against the XLA conv reference because conv
+    # rounds identically). The kernel is HBM-bound (<4% MXU), so the
+    # 3-pass f32 emulation is free.
+    hi = jax.lax.Precision.HIGHEST
     body = x_ref[0]                              # (block_rows, 128)
-    acc = jnp.dot(body, m_ref[0], preferred_element_type=jnp.float32)
+    acc = jnp.dot(body, m_ref[0], precision=hi,
+                  preferred_element_type=jnp.float32)
     if n_halo > 0:
         ext = jnp.concatenate([halo_ref[0, 0], body], axis=0)
         for h in range(1, n_halo + 1):
             rows = ext[halo_pad - h:halo_pad - h + block_rows]
-            acc = acc + jnp.dot(rows, m_ref[h],
+            acc = acc + jnp.dot(rows, m_ref[h], precision=hi,
                                 preferred_element_type=jnp.float32)
     o_ref[0] = acc
 

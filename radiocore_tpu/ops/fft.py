@@ -42,6 +42,23 @@ _CACHE_LOCK = threading.Lock()
 _NATIVE_OK: Dict[Tuple[str, int], bool] = {}
 _policy = "auto"  # "auto" | "native" | "fourstep"
 
+# Above this size, 'auto' prefers the four-step decomposition on
+# accelerators even when the native FFT compiles: XLA's large single-FFT
+# lowering falls off the HBM roofline superlinearly, while four-step is
+# two batched small FFTs + twiddle + transposes (all well-tiled).
+# Threshold chosen from benchmarks/fft_probe.py on v5e (see STATUS.md for
+# the measured table). Override with RADIOCORE_TPU_FFT_FOURSTEP_MIN
+# (0 disables).
+_FOURSTEP_MIN_DEFAULT = 1 << 22
+
+
+def _fourstep_min() -> int:
+    raw = os.environ.get("RADIOCORE_TPU_FFT_FOURSTEP_MIN")
+    if raw is None:
+        return _FOURSTEP_MIN_DEFAULT
+    v = int(float(raw))
+    return v if v > 0 else (1 << 62)
+
 
 def set_policy(policy: str) -> None:
     """Force FFT lowering: 'native', 'fourstep', or 'auto' (probe)."""
@@ -148,6 +165,8 @@ def _use_native(n: int) -> bool:
         return True
     if _policy == "fourstep":
         return n <= _SMALL_NATIVE
+    if n >= _fourstep_min() and _backend_name() != "cpu":
+        return False
     return native_fft_ok(n)
 
 

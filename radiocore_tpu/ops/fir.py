@@ -39,8 +39,13 @@ def _corr_valid(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     lead = x.shape[:-1]
     xb = x.reshape((-1, 1, x.shape[-1]))
     k = kernel.reshape((1, 1, -1)).astype(x.dtype)
+    # HIGHEST: the TPU MXU's DEFAULT f32 contraction rounds inputs to
+    # bf16 (~3e-3 relative FIR error vs a float64 oracle, measured on
+    # v5e — see kernels/fir_pallas.py). FIR convs here are thin and
+    # bandwidth-bound, so the f32-emulation passes cost little.
     y = jax.lax.conv_general_dilated(
-        xb, k, window_strides=(1,), padding="VALID")
+        xb, k, window_strides=(1,), padding="VALID",
+        precision=jax.lax.Precision.HIGHEST)
     return y.reshape(lead + (y.shape[-1],))
 
 
@@ -59,14 +64,18 @@ def fir_causal(x: jnp.ndarray, taps,
     """
     if impl == "auto":
         import os
-        # Default: XLA conv. The Pallas kernel is soak-CORRECT on v5e
-        # (benchmarks/pallas_soak.py: max rel err 7e-7 across shapes)
-        # but honestly-timed 3.5× SLOWER than the conv lowering
-        # (447 vs 1575 MS/s at 64×262144×129; an earlier 6.1× "win"
-        # was a relay measurement artifact — see CLAUDE.md). Opt in
-        # with RADIOCORE_TPU_FIR_IMPL=pallas.
-        impl = os.environ.get("RADIOCORE_TPU_FIR_IMPL", "conv")
-        if impl == "pallas" and (jnp.iscomplexobj(x)
+        from radiocore_tpu.runtime.platform import has_tpu
+        # Default: the Pallas MXU kernel on TPU. After the round-2
+        # Mosaic auto-pipelining rewrite (VMEM BlockSpecs instead of
+        # serial DMA) it re-soaked at 2.62× the conv lowering: 3537 vs
+        # 1349 MS/s at 64×262144×129, honest chained protocol
+        # (benchmarks/pallas_soak.py, v5e, 2026-08-19; the round-1
+        # version was 3.5× SLOWER). RADIOCORE_TPU_FIR_IMPL=conv opts
+        # out. Elsewhere (CPU, complex IQ, short signals, traced taps)
+        # XLA conv remains the lowering.
+        impl = os.environ.get("RADIOCORE_TPU_FIR_IMPL", "pallas")
+        if impl == "pallas" and (not has_tpu()
+                                 or jnp.iscomplexobj(x)
                                  or x.shape[-1] < 16384
                                  or not isinstance(taps, np.ndarray)):
             impl = "conv"

@@ -52,9 +52,12 @@ def _branch_conv(z: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
     p = kernels.shape[-1]
     zb = jnp.moveaxis(z.reshape((-1, s, m)), -1, 1)       # (B, M, S)
     rhs = kernels[:, None, :].astype(zb.dtype)            # (M, 1, P)
+    # HIGHEST: the TPU MXU's DEFAULT f32 contraction rounds inputs to
+    # bf16 (~3e-3 relative error vs float64 — see kernels/fir_pallas.py).
     out = jax.lax.conv_general_dilated(
         zb, rhs, window_strides=(1,), padding="VALID",
-        feature_group_count=m)                            # (B, M, S-P+1)
+        feature_group_count=m,
+        precision=jax.lax.Precision.HIGHEST)              # (B, M, S-P+1)
     return jnp.moveaxis(out, 1, -1).reshape(lead + (s - p + 1, m))
 
 
