@@ -117,17 +117,25 @@ def main() -> None:
     jax.block_until_ready(chk)
     log(f"compile+first-step: {time.perf_counter() - t0:.2f} s")
 
+    # Resilient scalar fetch: the relay's D2H fails transiently even for
+    # scalars (oscillating windows — CLAUDE.md); to_host retries before
+    # giving up. Still a HARD barrier (the value must materialize).
+    from radiocore_tpu.runtime.transfer import to_host
+
+    def fetch(c):
+        return float(to_host(c))
+
     def run_epoch(state, chk):
-        # float() is a HARD barrier: the relay must complete the whole
+        # fetch() is a HARD barrier: the relay must complete the whole
         # dependency chain to produce the value (block_until_ready alone
         # has been observed to return before deferred relay work runs —
         # epoch-0 artifact in BENCH history). Drain before starting the
         # clock, and fetch the final value inside the timed window.
-        float(chk)
+        fetch(chk)
         t0 = time.perf_counter()
         for i in range(iters):
             audio, state, chk = step_chained(bands[i], state, chk)
-        chk_val = float(chk)
+        chk_val = fetch(chk)
         return (time.perf_counter() - t0) / iters, state, chk, chk_val
 
     epoch_means = []
@@ -198,7 +206,7 @@ def main() -> None:
             outs = []
             # compile + hard drain (float() barrier, see run_epoch)
             r = fn(inputs[-1], *carried, c)
-            float(r[-1])
+            fetch(r[-1])
             t0 = time.perf_counter()
             for x in inputs[:-1]:
                 r = fn(x, *carried, c)
@@ -206,7 +214,7 @@ def main() -> None:
                 if len(r) == 3:
                     carried = [r[1]]
                 c = r[-1]
-            float(c)
+            fetch(c)
             return (time.perf_counter() - t0) / (len(inputs) - 1), outs
 
         dt_f, spectra = time_stage(lambda b, c: s_fft(b, c), bands)

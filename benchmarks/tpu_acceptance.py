@@ -23,7 +23,8 @@ import time
 
 
 def check(name: str, value: float, ok: bool, extra: dict | None = None):
-    rec = {"check": name, "value": round(float(value), 2), "ok": bool(ok)}
+    rec = {"check": name, "value": float(f"{float(value):.4g}"),
+           "ok": bool(ok)}
     if extra:
         rec.update(extra)
     print(json.dumps(rec), flush=True)

@@ -119,6 +119,13 @@ def main(argv=None) -> None:
     bands = [make_band(jax.random.key(i)) for i in range(iters + 1)]
     jax.block_until_ready(bands)
 
+    # Resilient scalar barrier: the relay's D2H fails transiently even
+    # for scalars (oscillating windows — CLAUDE.md); to_host retries.
+    from radiocore_tpu.runtime.transfer import to_host
+
+    def fetch(c):
+        return float(to_host(c))
+
     @jax.jit
     def varied(b, h, c):
         ch, h2 = step(b * (1.0 + c * 1e-3), h)
@@ -127,15 +134,15 @@ def main(argv=None) -> None:
         return ch, h2, chk
 
     ch, h, chk = varied(bands[-1], hist, jnp.float32(0))
-    float(chk)  # compile + hard drain
+    fetch(chk)  # compile + hard drain
 
     epoch_means = []
     for _ in range(3):
-        float(chk)
+        fetch(chk)
         t0 = time.perf_counter()
         for i in range(iters):
             ch, h, chk = varied(bands[i], h, chk)
-        float(chk)
+        fetch(chk)
         epoch_means.append((time.perf_counter() - t0) / iters)
 
     dt = min(epoch_means)

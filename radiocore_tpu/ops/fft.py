@@ -189,6 +189,29 @@ def _twiddles(n1: int, n2: int, sign: float) -> np.ndarray:
     return np.exp(sign * 2j * np.pi * k1 * j / (n1 * n2)).astype(np.complex64)
 
 
+# Twiddle matrices above this element count are computed ON DEVICE at
+# run time (iota → cos/sin, fused by XLA into the multiply — never
+# materialized in HBM); smaller ones stay host-NumPy constants baked
+# into the HLO (exact float64 phases). Large baked literals are doubly
+# fatal through the TPU relay: a 2^25 split's 256 MB twiddle literal
+# exceeded the compile-request limit (HTTP 413), and a closed-over
+# device array is no escape — XLA constant-folds it into the HLO via a
+# device→host fetch at lowering time. On-device precision is fine: the
+# f32 outer product k1·j errs by ≤ ~ε·n, and the phase is 2π·(k1·j)/n,
+# so the phase error is ≤ ~2πε ≈ 4e-7 rad independent of n.
+_TWIDDLE_DEVICE_MIN = 1 << 20
+
+
+def _apply_twiddle(z: jnp.ndarray, n1: int, n2: int,
+                   sign: float) -> jnp.ndarray:
+    if n1 * n2 < _TWIDDLE_DEVICE_MIN:
+        return z * jnp.asarray(_twiddles(n1, n2, sign))
+    k1 = jax.lax.iota(jnp.float32, n1)
+    j = jax.lax.iota(jnp.float32, n2)
+    ang = (sign * 2.0 * np.pi / (n1 * n2)) * (k1[:, None] * j[None, :])
+    return z * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+
+
 def _fft_rec(x: jnp.ndarray, sign: float) -> jnp.ndarray:
     """Unnormalized DFT (sign=-1 forward, +1 backward) along the last axis."""
     n = x.shape[-1]
@@ -202,7 +225,7 @@ def _fft_rec(x: jnp.ndarray, sign: float) -> jnp.ndarray:
     # Length-n1 FFT along the column axis: move it last for the recursion.
     z = _fft_rec(jnp.moveaxis(a, -2, -1), sign)          # (..., n2, n1)
     z = jnp.moveaxis(z, -1, -2)                          # (..., n1, n2)
-    z = z * jnp.asarray(_twiddles(n1, n2, sign))
+    z = _apply_twiddle(z, n1, n2, sign)
     xm = _fft_rec(z, sign)                               # (..., n1, n2) rows
     # Output index k = k1 + n1·k2 → transpose so k2 is the outer axis.
     return jnp.swapaxes(xm, -1, -2).reshape(lead + (n,))

@@ -98,12 +98,19 @@ def fir_stream(x: jnp.ndarray, taps,
     carried state is the raw trailing input samples — the mechanism behind
     the reference's stateful de-emphasis across 1-second chunks
     (reference: ``radiocore/analog/deemphasis.py:64``).
+
+    Routes through :func:`fir_causal`'s impl=auto so the hot batched
+    f32 case (the per-station de-emphasis inside the fused pipeline)
+    takes the Pallas MXU kernel on TPU — full f32 accuracy at ~17× the
+    HIGHEST-precision conv's runtime (benchmarks/pallas_soak.py).
     """
-    taps = _as_taps(taps, x.dtype)
-    t = taps.shape[0]
-    xp = jnp.concatenate([history.astype(x.dtype), x], axis=-1)
-    y = _corr_valid(xp, taps[::-1])
-    new_history = xp[..., -(t - 1):]
+    t = int(np.shape(taps)[0])
+    y = fir_causal(x, taps, history=history)
+    if t - 1 <= x.shape[-1]:
+        new_history = x[..., x.shape[-1] - (t - 1):]
+    else:
+        new_history = jnp.concatenate(
+            [history.astype(x.dtype), x], axis=-1)[..., -(t - 1):]
     return y, new_history
 
 
