@@ -70,7 +70,7 @@ def main() -> None:
     import jax.numpy as jnp
     from radiocore_tpu.parallel.pipeline import make_multi_station_step
 
-    n_stations = 64
+    n_stations = int(os.environ.get("RADIOCORE_TPU_BENCH_STATIONS", 64))
     # TPU-native rate plan: hardware-friendly powers of two (native XLA
     # FFTs at every stage). 262 144 S/s stations carry ~5% MORE signal
     # than the reference's canonical 250 kS/s config; the arbitrary-rate

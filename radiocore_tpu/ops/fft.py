@@ -46,10 +46,15 @@ _policy = "auto"  # "auto" | "native" | "fourstep"
 # accelerators even when the native FFT compiles: XLA's large single-FFT
 # lowering falls off the HBM roofline superlinearly, while four-step is
 # two batched small FFTs + twiddle + transposes (all well-tiled).
-# Threshold chosen from benchmarks/fft_probe.py on v5e (see STATUS.md for
-# the measured table). Override with RADIOCORE_TPU_FFT_FOURSTEP_MIN
-# (0 disables).
-_FOURSTEP_MIN_DEFAULT = 1 << 22
+# Measured on v5e (benchmarks/fft_probe.py, c64, honest protocol):
+#   2^22: native 8.02 ms / fourstep 5.95   2^23: 7.21 / 6.27
+#   2^24: native 9.89 / fourstep 10.14     2^25: 29.40 / 18.92
+# The threshold sits at the CLIFF (2^25; native scales superlinearly
+# from there) rather than the first crossover: at 2^22–2^24 the two are
+# within ~2 ms and native keeps the fused single-program pipeline at its
+# best (24.7 vs 25.4 ms per bench.py step at 2^24). Override with
+# RADIOCORE_TPU_FFT_FOURSTEP_MIN (0 disables).
+_FOURSTEP_MIN_DEFAULT = 1 << 25
 
 
 def _fourstep_min() -> int:

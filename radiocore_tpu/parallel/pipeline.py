@@ -211,12 +211,16 @@ def make_multi_station_step(
     # sizes (the demod's irfft at audio_chunk; in exact mode also the
     # decimation irfft). A planner-decomposed size anywhere in a fused
     # program re-triggers the tiled-layout slowdown (~129 vs 19 ms
-    # class), so every size must lower natively; fast mode's envelope
-    # rate n2 is pow2 by construction and needs no check.
-    all_native = all(_fft._plan(s) is None
-                     for s in {int(n_band), int(station_chunk),
-                               int(audio_chunk)})
-    if all_native:
+    # class) — EXCEPT pure power-of-two decompositions, whose pow2
+    # sub-FFT reshapes keep canonical layouts (the hazard came from
+    # odd-factor splits of sizes like 250 000). Pow2 four-step band
+    # FFTs (the planner's preference above RADIOCORE_TPU_FFT_FOURSTEP
+    # _MIN) therefore stay inside the single fused program.
+    def _fusable(s: int) -> bool:
+        return (s & (s - 1)) == 0 or _fft._plan(s) is None
+
+    if all(_fusable(s) for s in {int(n_band), int(station_chunk),
+                                 int(audio_chunk)}):
         @jax.jit
         def step(band_iq: jnp.ndarray, state: dict):
             return wbfm_stage(extract(band_fft(band_iq)), state)

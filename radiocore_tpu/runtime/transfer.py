@@ -117,14 +117,14 @@ def to_device_f32(x) -> jnp.ndarray:
     return _put_resilient(np.asarray(x, dtype=np.float32))
 
 
-def _fetch_retry(x: jax.Array) -> np.ndarray:
-    for attempt in range(_ATTEMPTS):
+def _fetch_retry(x: jax.Array, attempts: int = _ATTEMPTS) -> np.ndarray:
+    for attempt in range(attempts):
         try:
             return np.asarray(x)
         except Exception:
-            if attempt == _ATTEMPTS - 1:
+            if attempt == attempts - 1:
                 raise
-            time.sleep(_RETRY_DELAY_S * (2 ** attempt))
+            time.sleep(min(_RETRY_DELAY_S * (2 ** attempt), 5.0))
 
 
 def _fetch_chunked(x: jax.Array) -> np.ndarray:
@@ -140,9 +140,17 @@ def _fetch_chunked(x: jax.Array) -> np.ndarray:
 
 
 def to_host(x) -> np.ndarray:
-    """Fetch ``x`` to host numpy (plane/chunked fallbacks)."""
+    """Fetch ``x`` to host numpy (plane/chunked fallbacks).
+
+    Scalars/small arrays get a PATIENT retry (~2 min total): the relay's
+    D2H failure windows last minutes and oscillate; benchmark barriers
+    and metrics fetch scalars, where waiting out the window beats dying.
+    """
     if not isinstance(x, jax.Array):
         return np.asarray(x)
+    if np.size(x) <= 16 and (not jnp.iscomplexobj(x)
+                             or complex_transfer_ok()):
+        return _fetch_retry(x, attempts=30)
     if jnp.iscomplexobj(x) and not complex_transfer_ok():
         re, im = _split(x)
         return (to_host(re) + 1j * to_host(im)).astype(np.complex64)
