@@ -53,6 +53,15 @@ def run(config: Config, source, sink, seconds: float,
     """
     metrics = metrics or Metrics()
     timer = timer or StageTimer()
+    # The model constructors below receive chunk SIZES where the design
+    # math needs sample RATES; they coincide only under the one-second
+    # convention. With chunk_seconds != 1 the de-emphasis cutoff and
+    # decimation lowpass would be designed for the wrong rates, silently.
+    if config.chunk_seconds != 1.0:
+        raise ValueError(
+            f"receive_fm.run requires chunk_seconds == 1.0 (got "
+            f"{config.chunk_seconds}): filter design assumes chunk "
+            f"length == sample rate")
     in_chunk = config.chunk_size
     ring = RingBuffer(in_chunk * 3, dtype="complex64", print_overflow=False)
 

@@ -166,8 +166,12 @@ def fir_causal_pallas(x: jnp.ndarray, taps,
     n = x.shape[-1]
     # Shrink the block to the signal: a 49 k-sample chunk is 384 rows —
     # padding it to one 512-row block wastes 33% of the HBM traffic.
+    # Clamp at halo_pad: a shrunken block narrower than the halo slab
+    # would make the prev_tails[-halo_pad:] slice under-sized (short
+    # signals with very wide taps, e.g. n=2048 at ~2050 taps).
     block_rows = min(block_rows,
                      _round_up(-(-n // LANES), SUBLANES))
+    block_rows = max(block_rows, halo_pad)
     x2 = x.reshape((-1, n)).astype(jnp.float32)
     batch = x2.shape[0]
 

@@ -59,29 +59,36 @@ def fir_causal(x: jnp.ndarray, taps,
     ``scipy.signal.lfilter(b, 1, x)`` with zero initial conditions.
 
     ``impl``: 'conv' (XLA conv), 'pallas' (MXU banded-matmul kernel,
-    :mod:`radiocore_tpu.kernels.fir_pallas`), or 'auto' — pallas on TPU
-    for long float32 signals, conv otherwise.
+    :mod:`radiocore_tpu.kernels.fir_pallas`), 'fft' (overlap-save FFT
+    form, :func:`fir_overlap_save`), or 'auto' — pallas on TPU for long
+    float32 signals, conv otherwise.
     """
     if impl == "auto":
         import os
         from radiocore_tpu.runtime.platform import has_tpu
-        # Default: the Pallas MXU kernel on TPU. After the round-2
-        # Mosaic auto-pipelining rewrite (VMEM BlockSpecs instead of
-        # serial DMA) it re-soaked at 2.62× the conv lowering: 3537 vs
-        # 1349 MS/s at 64×262144×129, honest chained protocol
-        # (benchmarks/pallas_soak.py, v5e, 2026-08-19; the round-1
-        # version was 3.5× SLOWER). RADIOCORE_TPU_FIR_IMPL=conv opts
-        # out. Elsewhere (CPU, complex IQ, short signals, traced taps)
-        # XLA conv remains the lowering.
+        # Default: the Pallas MXU kernel on TPU — measured numbers live
+        # in ONE place, PALLAS_SOAK_r*.json (v5e, honest chained
+        # protocol, 64×262144×129): pallas 5040 MS/s vs HIGHEST-
+        # precision conv 292 MS/s. The conv collapsed ~5× when
+        # Precision.HIGHEST landed (a correctness requirement — DEFAULT
+        # rounds f32 inputs to bf16), so if the Pallas kernel ever
+        # mis-lowers, opt out with RADIOCORE_TPU_FIR_IMPL=fft (the
+        # overlap-save FFT form: same math, HIGHEST-immune), NOT =conv,
+        # which is the 17× cliff. Elsewhere (CPU, complex IQ, short
+        # signals, traced taps) XLA conv remains the lowering.
         impl = os.environ.get("RADIOCORE_TPU_FIR_IMPL", "pallas")
         if impl == "pallas" and (not has_tpu()
                                  or jnp.iscomplexobj(x)
                                  or x.shape[-1] < 16384
                                  or not isinstance(taps, np.ndarray)):
             impl = "conv"
+        elif impl == "fft" and x.shape[-1] < 16384:
+            impl = "conv"
     if impl == "pallas":
         from radiocore_tpu.kernels.fir_pallas import fir_causal_pallas
         return fir_causal_pallas(x, taps, history=history)
+    if impl == "fft":
+        return fir_overlap_save(x, taps, history=history)
     taps = _as_taps(taps, x.dtype)
     t = taps.shape[0]
     if history is None:

@@ -51,7 +51,14 @@ _unpack_donated = jax.jit(_unpack_sync, donate_argnums=0)
 def stage_chunk(arr: np.ndarray, donate: bool = True) -> jnp.ndarray:
     """Start an async H2D transfer of a host complex64 chunk; returns the
     (lazy) device complex64 array. Falls back to the resilient path on
-    transfer failure."""
+    transfer failure.
+
+    NOTE: ``jax.device_put`` and the unpack jit enqueue asynchronously —
+    a relay failure usually surfaces later, at first consumption, NOT
+    inside this try. :meth:`IngestPipe.stream` therefore verifies each
+    chunk (``block_until_ready``) before yielding and re-stages through
+    the blocking resilient path on failure; call :func:`verify_staged`
+    if you use ``stage_chunk`` directly on a flaky transport."""
     arr = np.ascontiguousarray(arr)
     if arr.dtype != np.complex64:
         arr = arr.astype(np.complex64)
@@ -62,6 +69,24 @@ def stage_chunk(arr: np.ndarray, donate: bool = True) -> jnp.ndarray:
         return unpack(staged)
     except Exception:
         return to_device_c64(arr)
+
+
+def verify_staged(chunk: jnp.ndarray, host_arr: np.ndarray) -> jnp.ndarray:
+    """Barrier on an async-staged chunk; re-stage on deferred H2D failure.
+
+    Async relay H2D errors surface at consumption time (the DMA is only
+    enqueued by :func:`stage_chunk`); blocking here keeps those errors
+    inside ingest, where the blocking retry/chunked path
+    (:func:`radiocore_tpu.runtime.transfer.to_device_c64`) can recover,
+    instead of crashing the consumer's compute. The barrier costs no
+    overlap in steady state: chunk N is verified only when it is about
+    to be consumed, after chunk N+1's transfer has already been issued.
+    """
+    try:
+        jax.block_until_ready(chunk)
+        return chunk
+    except Exception:
+        return to_device_c64(np.ascontiguousarray(host_arr))
 
 
 class IngestPipe:
@@ -81,13 +106,19 @@ class IngestPipe:
 
     def stream(self, host_chunks: Iterable[np.ndarray]
                ) -> Iterator[jnp.ndarray]:
-        pending: list[jnp.ndarray] = []
+        # Each pending entry keeps its host array alive so a DEFERRED
+        # relay H2D failure (which surfaces at the pre-yield barrier, not
+        # inside stage_chunk) can be recovered by re-staging through the
+        # blocking resilient path. Callers that recycle staging buffers
+        # must keep >= depth+1 of them (receive_fm does) so the host
+        # bytes are intact until their chunk is yielded.
+        pending: list[tuple[jnp.ndarray, np.ndarray]] = []
         for arr in host_chunks:
-            pending.append(stage_chunk(arr, self.donate))
+            pending.append((stage_chunk(arr, self.donate), arr))
             if len(pending) >= self.depth:
-                yield pending.pop(0)
+                yield verify_staged(*pending.pop(0))
         while pending:
-            yield pending.pop(0)
+            yield verify_staged(*pending.pop(0))
 
 
 class ThreadedIngest:
@@ -108,7 +139,11 @@ class ThreadedIngest:
         self._pipe = IngestPipe(depth=depth)
 
     def put(self, arr: np.ndarray, timeout: Optional[float] = None) -> None:
-        self._q.put(arr, timeout=timeout)
+        """Enqueue one host chunk. The chunk is COPIED here: staging
+        happens later on the consumer thread, so without the copy a
+        producer that recycles its buffer (the RingBuffer shape) could
+        mutate a chunk before its H2D transfer is even issued."""
+        self._q.put(np.array(arr, copy=True), timeout=timeout)
 
     def close(self) -> None:
         self._q.put(self._DONE)

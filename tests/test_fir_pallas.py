@@ -45,6 +45,18 @@ def test_matches_with_history():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_wide_taps_short_signal():
+    """Taps wider than the (shrunken) signal block: block_rows must be
+    clamped up to halo_pad or the prev_tails halo slice under-sizes
+    (n=2048 is 16 rows; ~2050 taps need a 24-row halo slab)."""
+    n, t = 2048, 2050
+    x = RNG.standard_normal(n).astype(np.float32)
+    taps = sig.firwin(t, 0.1)
+    want = np.asarray(fir_causal(x, taps, impl="conv"))
+    got = np.asarray(fir_causal_pallas(x, taps))
+    np.testing.assert_allclose(got, want, atol=2e-4 * np.max(np.abs(want)))
+
+
 def test_batched():
     x = RNG.standard_normal((3, 4000)).astype(np.float32)
     taps = sig.firwin(61, [0.2, 0.4], pass_zero=False)

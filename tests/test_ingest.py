@@ -75,6 +75,41 @@ def test_threaded_ingest_roundtrip():
         np.testing.assert_array_equal(got, want)
 
 
+def test_threaded_ingest_producer_reuses_buffer():
+    """ThreadedIngest.put copies: a producer that mutates its staging
+    buffer immediately after put() (before the consumer thread ever
+    stages the chunk) must not corrupt the enqueued data — staging
+    happens later, on the consumer side, at depth >= 2."""
+    chunks = _chunks(4, 512)
+    ti = ThreadedIngest(depth=2, maxsize=8)
+    buf = np.empty(512, np.complex64)
+    for c in chunks:
+        buf[:] = c
+        ti.put(buf)          # producer reuses ONE buffer for every chunk
+        buf[:] = -1.0        # mutate before the consumer drains anything
+    ti.close()
+    out = [np.asarray(x) for x in ti]
+    assert len(out) == len(chunks)
+    for got, want in zip(out, chunks):
+        np.testing.assert_array_equal(got, want)
+
+
+def test_verify_staged_restages_on_failure():
+    """verify_staged falls back to the blocking resilient path when the
+    async-staged chunk errors at consumption time (deferred relay H2D
+    failure)."""
+    from radiocore_tpu.runtime.ingest import verify_staged
+
+    host = _chunks(1, 1024)[0]
+
+    class Exploding:
+        def block_until_ready(self):
+            raise RuntimeError("UNIMPLEMENTED: deferred H2D failure")
+
+    out = verify_staged(Exploding(), host)
+    np.testing.assert_array_equal(np.asarray(out), host)
+
+
 def test_mutated_host_buffer_isolation():
     """The producer may reuse its staging buffer after the consumer has
     consumed the chunk (the receive_fm pattern: depth+1 buffers)."""
