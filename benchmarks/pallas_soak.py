@@ -24,6 +24,16 @@ def main(argv=None) -> int:
     parser.add_argument("--quick", action="store_true",
                         help="small shapes only (CPU/interpret mode)")
     parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--device-loop", action="store_true",
+                        help="additionally time K chained kernel calls "
+                             "inside ONE on-device lax.fori_loop — "
+                             "excludes per-call relay dispatch from the "
+                             "denominator (VERDICT r2 #3: is the 5040 "
+                             "MS/s wall number kernel-bound or "
+                             "dispatch-bound?)")
+    parser.add_argument("--block-rows", type=int, nargs="*", default=None,
+                        help="with --device-loop: block_rows values to "
+                             "sweep (default: 256 512 1024 2048)")
     args = parser.parse_args(argv)
 
     import numpy as np

@@ -34,11 +34,6 @@ def main(argv=None) -> None:
     parser.add_argument("--channelizer", default="fft",
                         choices=("fft", "pfb"))
     args = parser.parse_args(argv)
-    if args.time_shards > 0 and args.channelizer == "fft":
-        parser.error("--channelizer fft is not implemented for "
-                     "--time-shards > 0 (the sharded branch runs the PFB "
-                     "halo path); drop --time-shards or use "
-                     "--channelizer pfb")
 
     import jax
     import jax.numpy as jnp
@@ -48,10 +43,11 @@ def main(argv=None) -> None:
 
     m = args.channels
     n = int(args.band_rate * args.seconds)
-    if args.channelizer == "fft" and args.time_shards <= 0:
+    if args.channelizer == "fft":
         # TPU-native rate plan: snap the chunk to a power of two so the
         # band FFT lowers natively (bench.py does the same; the planner
-        # handles arbitrary n at ~6× the cost).
+        # handles arbitrary n at ~6× the cost). A pow2 n also satisfies
+        # the sharded path's n % D² == 0 requirement for pow2 D.
         p = 1
         while p * 2 <= n:
             p *= 2
@@ -67,9 +63,37 @@ def main(argv=None) -> None:
 
     hist = pfb_init(m, args.taps_per_branch)
 
-    if args.time_shards > 0:
-        # Sequence-parallel form: per-shard FFTs + halo ppermute only —
-        # no full-band gather (parallel/halo.py).
+    if args.time_shards > 0 and args.channelizer == "fft":
+        # Fully distributed config-4 front-end: halo-exchange overlap-
+        # save FIR + six-step band FFT + local windowed extraction, all
+        # in ONE shard_map — no device materializes the full band or its
+        # spectrum (per-device peak ~1/D of the band). The body is the
+        # same one the fused pipeline uses (parallel/channelize_sharded).
+        from jax.sharding import PartitionSpec as P
+        from radiocore_tpu.parallel.mesh import make_radio_mesh, TIME
+        from radiocore_tpu.parallel.halo import fir_overlap_save_halo
+        from radiocore_tpu.parallel.channelize_sharded import (
+            make_extract_body)
+        mesh = make_radio_mesh(stations=1, time=args.time_shards,
+                               devices=jax.devices()[:args.time_shards])
+        chunk = n // m
+        grid = [((k * chunk + n // 2) % n) - n // 2 for k in range(m)]
+        body = make_extract_body(n, tuple(-g for g in grid), chunk,
+                                 args.time_shards, TIME)
+        if body is None:
+            raise SystemExit(f"no distributed plan for n={n}, "
+                             f"C={m}, D={args.time_shards}")
+
+        def local(band, h):
+            band, _ = fir_overlap_save_halo(band, fir, TIME)
+            return body(band), h          # (C/D, chunk) per device
+
+        step = jax.jit(jax.shard_map(
+            local, mesh=mesh, in_specs=(P(TIME), P()),
+            out_specs=(P(TIME, None), P())))
+    elif args.time_shards > 0:
+        # Sequence-parallel PFB form: per-shard FFTs + halo ppermute
+        # only — no full-band gather (parallel/halo.py).
         from jax.sharding import PartitionSpec as P
         from radiocore_tpu.parallel.mesh import make_radio_mesh, TIME
         from radiocore_tpu.parallel.halo import (fir_overlap_save_halo,
@@ -180,7 +204,7 @@ def main(argv=None) -> None:
         "band_rate_msps": args.band_rate / 1e6,
         "realtime_factor": round(msps * 1e6 / args.band_rate, 2),
         "channels": m,
-        "channelizer": "pfb" if args.time_shards > 0 else args.channelizer,
+        "channelizer": args.channelizer,
         "time_shards": args.time_shards,
         "min_hbm_gbytes_per_s": round(min_bytes / dt / 1e9, 1),
         "epoch_ms": [round(d * 1e3, 2) for d in epoch_means],

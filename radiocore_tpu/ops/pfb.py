@@ -46,19 +46,27 @@ def pfb_init(n_channels: int, taps_per_branch: int = 8,
 
 def _branch_conv(z: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
     """Depthwise conv over frames: z (..., S, M), kernels (M, P) →
-    (..., S−P+1, M); out[t, m] = Σ_q z[t+q, m]·kernels[m, q]."""
-    lead = z.shape[:-2]
-    s, m = z.shape[-2:]
+    (..., S−P+1, M); out[t, m] = Σ_q z[t+q, m]·kernels[m, q].
+
+    Lowering: P statically-unrolled shifted multiply-adds. Each tap is
+    an elementwise VPU op over the frame matrix — XLA fuses the chain
+    into one pass, full f32 accuracy (no MXU contraction, so no bf16
+    input rounding), and the whole conv stays HBM-bound. The grouped
+    ``lax.conv`` form this replaces was the wideband bottleneck on TPU:
+    XLA lowers depthwise convs poorly (r1: 111 Msps at DEFAULT
+    precision; slower still at HIGHEST, which correctness requires —
+    see kernels/fir_pallas.py on MXU bf16 rounding)."""
     p = kernels.shape[-1]
-    zb = jnp.moveaxis(z.reshape((-1, s, m)), -1, 1)       # (B, M, S)
-    rhs = kernels[:, None, :].astype(zb.dtype)            # (M, 1, P)
-    # HIGHEST: the TPU MXU's DEFAULT f32 contraction rounds inputs to
-    # bf16 (~3e-3 relative error vs float64 — see kernels/fir_pallas.py).
-    out = jax.lax.conv_general_dilated(
-        zb, rhs, window_strides=(1,), padding="VALID",
-        feature_group_count=m,
-        precision=jax.lax.Precision.HIGHEST)              # (B, M, S-P+1)
-    return jnp.moveaxis(out, 1, -1).reshape(lead + (s - p + 1, m))
+    t_out = z.shape[-2] - p + 1
+    kern = jnp.asarray(kernels)
+    if jnp.iscomplexobj(z):
+        kern = kern.astype(jnp.real(z).dtype)
+    else:
+        kern = kern.astype(z.dtype)
+    acc = z[..., 0:t_out, :] * kern[:, 0]
+    for q in range(1, p):
+        acc = acc + z[..., q:q + t_out, :] * kern[:, q]
+    return acc
 
 
 def pfb_channelize(x: jnp.ndarray, taps: np.ndarray, n_channels: int,
@@ -86,13 +94,11 @@ def pfb_channelize(x: jnp.ndarray, taps: np.ndarray, n_channels: int,
 
     z = xh.reshape(x.shape[:-1] + (-1, m))                # (..., T+P−1, M)
     # Branch kernels: reversed-in-p taps per branch (correlation form).
-    kernels = np.asarray(taps).reshape(p, m).T[:, ::-1]   # (M, P)
-    if jnp.iscomplexobj(x):
-        kr = jnp.asarray(kernels, dtype=jnp.float32)
-        y = (_branch_conv(jnp.real(z), kr)
-             + 1j * _branch_conv(jnp.imag(z), kr)).astype(x.dtype)
-    else:
-        y = _branch_conv(z, jnp.asarray(kernels, dtype=x.dtype))
+    # The elementwise lowering handles complex frames directly (real
+    # taps broadcast over I/Q) — no plane split needed.
+    kernels = np.ascontiguousarray(
+        np.asarray(taps).reshape(p, m).T[:, ::-1], dtype=np.float32)
+    y = _branch_conv(z, jnp.asarray(kernels)).astype(x.dtype)
 
     # M-point DFT over the branch axis picks channel centers k·fs/M
     # (unit passband gain: taps are normalized to Σh = 1).

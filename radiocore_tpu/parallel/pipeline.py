@@ -15,41 +15,16 @@ partitioned by XLA's SPMD pass when its input is time-sharded.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Sequence, Tuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from radiocore_tpu.models.wbfm import make_wbfm_step, wbfm_init_state
 from radiocore_tpu.ops import fft as _fft
-from radiocore_tpu.ops.channelize import extraction_plan, make_extractor
+from radiocore_tpu.ops.channelize import make_extractor
 from radiocore_tpu.parallel.mesh import STATIONS, TIME
-
-
-def _roll_sharded(block: jnp.ndarray, shift: int, n: int,
-                  axis_name: str) -> jnp.ndarray:
-    """Global circular roll of a block-sharded flat array, inside
-    shard_map: device d's output is ``x[(d·B + shift) % n : … + B]``.
-
-    The shift splits each local block into at most two pieces routed to
-    (possibly) two neighbors — two ``ppermute``s, no gather.
-    """
-    d = jax.lax.axis_size(axis_name)
-    b = n // d
-    q, r = divmod(int(shift) % n, b)
-    if r == 0:
-        if q == 0:
-            return block
-        perm = [(e, (e - q) % d) for e in range(d)]
-        return jax.lax.ppermute(block, axis_name, perm)
-    perm_hi = [(e, (e - q) % d) for e in range(d)]
-    perm_lo = [(e, (e - q - 1) % d) for e in range(d)]
-    high = jax.lax.ppermute(block[r:], axis_name, perm_hi)
-    low = jax.lax.ppermute(block[:r], axis_name, perm_lo)
-    return jnp.concatenate([high, low])
 
 
 def _make_distributed_fused(mesh: Mesh, n_band: int,
@@ -58,60 +33,23 @@ def _make_distributed_fused(mesh: Mesh, n_band: int,
 
     Returns a jitted ``band (n,) → stations (C, m)`` function sharded in
     contiguous blocks over ALL mesh devices, or None when the plan
-    doesn't qualify (needs a uniform critically-sampled channel grid,
-    ``C % D == 0``, and an ``n = n1·n2`` split with both factors
-    divisible by D). Replaces the reference's replicated full-band FFT
-    hot loop (``radiocore/tools/tuner.py:137-138``) with the classic
-    six-step distributed FFT (3 all_to_alls) + a 2-ppermute spectrum
-    roll + local windowed extraction — no device ever materializes the
-    full band.
+    doesn't qualify. The per-shard body (six-step FFT + roll + windowed
+    extraction) lives in :mod:`radiocore_tpu.parallel.channelize_sharded`
+    — shared with the wideband config-4 benchmark.
     """
-    from radiocore_tpu.parallel.fft_sharded import (
-        _fourstep_local_blocks, split_for_shards)
+    from radiocore_tpu.parallel.channelize_sharded import make_extract_body
 
-    n = int(n_band)
-    m = int(station_chunk)
-    c = len(offsets_hz)
     d = int(mesh.devices.size)
-    shifts = tuple(int(-o) for o in offsets_hz)
-    starts, w_out, w_fix, m2, _run = extraction_plan(n, shifts, m)
-    uniform = (c > 1 and all((starts[i] - starts[0]) % n == (i * m) % n
-                             for i in range(c)))
-    split = split_for_shards(n, d)
-    if not (d > 1 and uniform and n == c * m and c % d == 0
-            and split is not None):
-        return None
-    n1, n2 = split
-    c_loc = c // d
-    a0 = int(starts[0])
-    neg = m - m2
-    s_fac = n / m
     axis = "fftax"
+    body = make_extract_body(n_band, tuple(int(-o) for o in offsets_hz),
+                             station_chunk, d, axis)
+    if body is None:
+        return None
     # Flat 1-axis view of the same devices in row-major mesh order: the
     # resulting block sharding is identical (same HloSharding) to
     # ``P((STATIONS, TIME))`` on the caller's 2-D mesh, so downstream
     # jits with 2-D-mesh shardings accept the outputs without resharding.
     flat_mesh = Mesh(mesh.devices.reshape(-1), (axis,))
-
-    def body(block: jnp.ndarray) -> jnp.ndarray:
-        spec = _fourstep_local_blocks(block, n1, n2, axis)  # my k block
-        rolled = _roll_sharded(spec, a0, n, axis)
-        # One halo bin: the right neighbor's first rolled bin (wraps).
-        halo = jax.lax.ppermute(
-            rolled[:1], axis, [(e, (e - 1) % d) for e in range(d)])
-        rows = rolled.reshape(c_loc, m)
-        nxt = jnp.concatenate([rows[1:, :1], halo[None, :]], axis=0)
-        # Same reorder/window/fix math as ops.channelize.extract_uniform.
-        if m % 2 == 0:
-            pos = jnp.concatenate([rows[:, m // 2:], nxt], axis=-1)
-            y = jnp.concatenate([pos, rows[:, 1:m // 2]], axis=-1) * w_out
-            y = y.at[:, m2 - 1].add(rows[:, 0] * w_fix)
-        else:
-            pos = jnp.concatenate([rows[:, neg:], nxt], axis=-1)[:, :m2]
-            y = jnp.concatenate([pos, rows[:, :neg]], axis=-1) * w_out
-        y = jax.lax.optimization_barrier(y)
-        return _fft.ifft(y / s_fac)                        # (c_loc, m)
-
     return jax.jit(jax.shard_map(body, mesh=flat_mesh,
                                  in_specs=P(axis), out_specs=P(axis, None)))
 

@@ -170,3 +170,43 @@ def test_distributed_front_end_engages_and_matches_extractor():
     bad = [-175_000, -120_000, -75_000, -25_000,
            25_000, 75_000, 125_000, 175_000]
     assert _make_distributed_fused(mesh, n_band, bad, m) is None
+
+
+def test_wideband_sharded_fft_channelizer_matches():
+    """The config-4 sharded form (halo overlap-save FIR + six-step FFT +
+    local extraction in ONE shard_map — benchmarks/wideband.py
+    --channelizer fft --time-shards D) matches the unsharded FIR + FFT +
+    extractor chain."""
+    from radiocore_tpu.ops import fft as _fft
+    from radiocore_tpu.ops.channelize import make_extractor
+    from radiocore_tpu.ops.fir import fir_overlap_save
+    from radiocore_tpu.parallel.halo import fir_overlap_save_halo
+    from radiocore_tpu.parallel.channelize_sharded import make_extract_body
+
+    d, m = 8, 16                       # 16 channels over 8 devices
+    n = 1 << 16                        # pow2 band (the fft-path rate plan)
+    chunk = n // m
+    fir = sig.firwin(33, 0.45)
+    grid = [((k * chunk + n // 2) % n) - n // 2 for k in range(m)]
+    shifts = tuple(-g for g in grid)
+
+    band = (RNG.standard_normal(n) +
+            1j * RNG.standard_normal(n)).astype(np.complex64) * 0.1
+
+    extract = make_extractor(n, shifts, chunk)
+    want = np.asarray(extract(_fft.fft(fir_overlap_save(
+        jnp.asarray(band), fir, block=4096))))
+
+    mesh = make_radio_mesh(stations=1, time=d)
+    body = make_extract_body(n, shifts, chunk, d, TIME)
+    assert body is not None
+
+    def local(blk):
+        blk, _ = fir_overlap_save_halo(blk, fir, TIME)
+        return body(blk)
+
+    step = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=P(TIME), out_specs=P(TIME, None)))
+    got = np.asarray(step(jnp.asarray(band)))
+    scale = np.max(np.abs(want))
+    np.testing.assert_allclose(got, want, atol=3e-4 * scale)
