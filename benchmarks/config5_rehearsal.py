@@ -129,8 +129,13 @@ def single_process_rehearsal(n_stations: int, station_chunk: int,
         "tone_snr_db": {str(k): v for k, v in snrs.items()},
         "parity_ok": parity_ok,
         "sec_per_chunk": round(dt, 3),
-        "iq_msps_per_chip": round(n_band / dt / n_dev / 1e6, 3),
-        "realtime_channels_virtual": round(n_stations / dt, 2),
+        # CPU-VIRTUAL wall clock: 8 virtual devices share this host's few
+        # cores, so these two fields measure host contention, NOT chip
+        # throughput (see bench.py / WIDEBAND for real-chip numbers; the
+        # correctness columns above are this phase's product).
+        "cpu_virtual_iq_msps_per_chip_NOT_TPU": round(
+            n_band / dt / n_dev / 1e6, 3),
+        "cpu_virtual_realtime_channels_NOT_TPU": round(n_stations / dt, 2),
         "compile_plus_first_step_s": round(compile_s, 1),
     }
     print(json.dumps(row), flush=True)
@@ -192,8 +197,10 @@ def multihost_rehearsal(n_stations: int, station_chunk: int,
         "devices": chips,
         "checksum_parity_ok": agree,
         "checksums": [v[0] for v in vals],
-        "iq_msps_per_chip": round(vals[0][1] / chips / 1e6, 3),
-        "realtime_channels_virtual": round(
+        # CPU-VIRTUAL wall clock (see single-process phase note).
+        "cpu_virtual_iq_msps_per_chip_NOT_TPU": round(
+            vals[0][1] / chips / 1e6, 3),
+        "cpu_virtual_realtime_channels_NOT_TPU": round(
             vals[0][1] / station_chunk, 2),
         "wall_s": round(wall, 1),
     }

@@ -35,7 +35,6 @@ def main(argv=None) -> None:
     parser.add_argument("--epochs", type=int, default=3)
     args = parser.parse_args(argv)
 
-    import numpy as np
     import jax
     import jax.numpy as jnp
     from radiocore_tpu.ops.channelize import extraction_plan, make_extractor
@@ -73,32 +72,13 @@ def main(argv=None) -> None:
             y = jnp.concatenate([pos, rows[:, :neg]], axis=-1) * w_out
         return y
 
-    # ---- four-step batched IFFT: m = n1·n2, both pow2 ------------------
-    n1 = 1
-    while n1 * n1 < m:
-        n1 *= 2
-    n2 = m // n1
-
-    def ifft_fourstep(y):
-        """(C, m) ifft via conj(fourstep_fft(conj(y)))/m with native
-        batched small FFTs; twiddles computed on the fly (fused)."""
-        z = jnp.conj(y).reshape(c, n1, n2)
-        z = jnp.fft.fft(jnp.swapaxes(z, -1, -2))        # len-n1 over cols
-        z = jnp.swapaxes(z, -1, -2)
-        k1 = jax.lax.iota(jnp.float32, n1)
-        j = jax.lax.iota(jnp.float32, n2)
-        ang = (-2.0 * np.pi / m) * (k1[:, None] * j[None, :])
-        z = z * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
-        z = jnp.fft.fft(z)                              # len-n2 rows
-        z = jnp.swapaxes(z, -1, -2).reshape(c, m)
-        return jnp.conj(z) / m
-
+    from radiocore_tpu.ops import fft as _fft
     extract_full = make_extractor(n, shifts, m)
 
     variants = {
         "reorder": lambda s: reorder_only(s),
         "native": lambda s: jnp.fft.ifft(reorder_only(s) / s_fac),
-        "fourstep": lambda s: ifft_fourstep(reorder_only(s) / s_fac),
+        "fourstep": lambda s: _fft.ifft_decomposed(reorder_only(s) / s_fac),
         "full": lambda s: extract_full(s),
     }
 

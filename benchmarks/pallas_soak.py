@@ -159,6 +159,61 @@ def main(argv=None) -> int:
                           "value": round(results["pallas"]
                                          / results["conv"], 2)}), flush=True)
 
+    # ---- on-device chained loop: kernel time sans dispatch ---------------
+    if args.device_loop and not args.quick:
+        batch, n, taps_n = 64, 262_144, 129
+        taps = sig.firwin(taps_n, 0.25).astype(np.float32)
+        from radiocore_tpu.kernels import fir_pallas as _fp
+        xs = [make_x(batch, n, jax.random.key(7000 + i)) for i in range(4)]
+        jax.block_until_ready(xs)
+        sweep = args.block_rows or [256, 512, 1024, 2048]
+        # f32 in+out (the kernel's unavoidable traffic; halo array adds
+        # ~2·halo_pad/block_rows more).
+        min_bytes = batch * n * 8
+
+        def time_k(k, br):
+            """Wall seconds for ONE jitted call containing k chained
+            kernel calls in a lax.fori_loop (x_{i+1} = fir(x_i): a real
+            data dependency XLA cannot elide or dedupe)."""
+            @jax.jit
+            def run(x, c):
+                x = x * (1.0 + c * 1e-3)
+                x = jax.lax.fori_loop(
+                    0, k,
+                    lambda i, x: _fp.fir_causal_pallas(x, taps,
+                                                       block_rows=br),
+                    x)
+                return jnp.mean(jnp.abs(x[:, ::4096])) + x[0, 0] * 1e-3
+            chk = run(xs[-1], jnp.float32(0))
+            float(chk)  # compile + hard drain
+            best = float("inf")
+            for ep in range(2):
+                float(chk)
+                t0 = time.perf_counter()
+                for i in range(3):
+                    chk = run(xs[i], chk)
+                float(chk)
+                best = min(best, (time.perf_counter() - t0) / 3)
+            return best
+
+        for br in sweep:
+            k_lo, k_hi = 2, 10
+            t_lo = time_k(k_lo, br)
+            t_hi = time_k(k_hi, br)
+            # Marginal per-kernel-call time: fixed dispatch/loop overhead
+            # cancels in the difference.
+            marginal = (t_hi - t_lo) / (k_hi - k_lo)
+            print(json.dumps({
+                "case": f"device-loop block_rows={br}",
+                "marginal_ms_per_call": round(marginal * 1e3, 3),
+                "effective_gb_per_s": round(min_bytes / marginal / 1e9, 1),
+                "hbm_fraction_v5e": round(min_bytes / marginal / 819e9, 3),
+                "wall_ms_k2": round(t_lo * 1e3, 2),
+                "wall_ms_k10": round(t_hi * 1e3, 2),
+                "msamples_per_s_marginal": round(
+                    batch * n / marginal / 1e6, 1),
+            }), flush=True)
+
     print(json.dumps({"soak": "PASS" if ok else "FAIL"}), flush=True)
     return 0 if ok else 1
 

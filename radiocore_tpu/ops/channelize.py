@@ -73,10 +73,19 @@ def make_extractor(n: int, shifts: Tuple[int, ...],
                and all((starts[i] - starts[0]) % n == (i * m) % n
                        for i in range(c)))
 
+    # Batched per-channel IFFT lowering: 'native' (one custom-call pass
+    # over the m axis), 'fourstep' (two batched small native FFTs +
+    # fused twiddle — ops.fft.ifft_decomposed), or 'auto'. The env knob
+    # exists for hardware A/B (benchmarks/extract_profile.py).
+    import os
+    _impl = os.environ.get("RADIOCORE_TPU_EXTRACT_IFFT", "auto")
+
     def finish(y_all: jnp.ndarray) -> jnp.ndarray:
         # Barrier pins a canonical layout: without it the SPMD partitioner
         # may hand the CPU FFT runtime a non-dim0-major layout (RET_CHECK).
         y_all = jax.lax.optimization_barrier(y_all)
+        if _impl == "fourstep":
+            return _fft.ifft_decomposed(y_all / s_fac)
         return _fft.ifft(y_all / s_fac)
 
     def extract_uniform(spectrum: jnp.ndarray) -> jnp.ndarray:

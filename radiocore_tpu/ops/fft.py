@@ -244,6 +244,36 @@ def fft(x: jnp.ndarray) -> jnp.ndarray:
     return _fft_rec(x, -1.0)
 
 
+def fft_decomposed(x: jnp.ndarray, sign: float = -1.0) -> jnp.ndarray:
+    """One four-step level with planner-recursive sub-FFTs, REGARDLESS
+    of the policy/threshold (unnormalized; sign=-1 forward).
+
+    Escape hatch for cases where the planner would choose native but the
+    decomposition is measurably faster (e.g. large batched per-station
+    IFFTs inside the extraction stage — the four-step form is two
+    batched small native FFTs + a fused on-the-fly twiddle instead of
+    one custom-call pass over a long axis)."""
+    x = jnp.asarray(x)
+    if not jnp.iscomplexobj(x):
+        x = x.astype(jnp.complex64)
+    n = x.shape[-1]
+    n1, n2 = _split(n)
+    if n1 == 1 or n2 == 1:
+        return _fft_rec(x, sign)
+    lead = x.shape[:-1]
+    a = x.reshape(lead + (n1, n2))
+    z = _fft_rec(jnp.moveaxis(a, -2, -1), sign)          # (..., n2, n1)
+    z = jnp.moveaxis(z, -1, -2)
+    z = _apply_twiddle(z, n1, n2, sign)
+    xm = _fft_rec(z, sign)
+    return jnp.swapaxes(xm, -1, -2).reshape(lead + (n,))
+
+
+def ifft_decomposed(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse counterpart of :func:`fft_decomposed` (normalized)."""
+    return fft_decomposed(x, +1.0) / x.shape[-1]
+
+
 def ifft(x: jnp.ndarray) -> jnp.ndarray:
     """Inverse FFT along the last axis (planned, normalized)."""
     x = jnp.asarray(x)

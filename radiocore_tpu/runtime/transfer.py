@@ -21,6 +21,7 @@ this is runtime infrastructure the relay transport makes necessary.
 from __future__ import annotations
 
 import functools
+import os
 import time
 
 import numpy as np
@@ -150,7 +151,12 @@ def to_host(x) -> np.ndarray:
         return np.asarray(x)
     if np.size(x) <= 16 and (not jnp.iscomplexobj(x)
                              or complex_transfer_ok()):
-        return _fetch_retry(x, attempts=30)
+        # Default ~2.3 min of patience; benchmarks override via env —
+        # measured bad D2H windows last 35+ min (CLAUDE.md), so a
+        # bench barrier needs RADIOCORE_TPU_FETCH_ATTEMPTS≈500 (~42 min)
+        # to ride one out instead of dying.
+        attempts = int(os.environ.get("RADIOCORE_TPU_FETCH_ATTEMPTS", 30))
+        return _fetch_retry(x, attempts=attempts)
     if jnp.iscomplexobj(x) and not complex_transfer_ok():
         re, im = _split(x)
         return (to_host(re) + 1j * to_host(im)).astype(np.complex64)

@@ -7,6 +7,7 @@ is unusable (e.g. 250 000 — see ops/fft.py module docstring).
 
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
 from radiocore_tpu.ops import fft as pfft
 
@@ -74,3 +75,45 @@ def test_split_balances():
     assert a * b == 250_000 and max(a, b) <= 1000
     a, b = pfft._split(10_000_000)
     assert a * b == 10_000_000 and max(a, b) <= 4000
+
+
+def test_fft_decomposed_matches_numpy():
+    """Forced one-level four-step (the extraction-stage batched-IFFT
+    lowering) must equal the native transform at any composite size."""
+    from radiocore_tpu.ops.fft import fft_decomposed, ifft_decomposed
+
+    rng = np.random.default_rng(7)
+    for shape in [(4096,), (3, 4096), (2, 3, 1200)]:
+        x = (rng.standard_normal(shape)
+             + 1j * rng.standard_normal(shape)).astype(np.complex64)
+        want_f = np.fft.fft(x, axis=-1)
+        got_f = np.asarray(fft_decomposed(jnp.asarray(x)))
+        np.testing.assert_allclose(got_f, want_f,
+                                   atol=2e-3 * np.max(np.abs(want_f)))
+        want_i = np.fft.ifft(x, axis=-1)
+        got_i = np.asarray(ifft_decomposed(jnp.asarray(x)))
+        np.testing.assert_allclose(got_i, want_i,
+                                   atol=2e-3 * np.max(np.abs(want_i)))
+
+
+def test_extractor_fourstep_ifft_matches_native(monkeypatch):
+    """RADIOCORE_TPU_EXTRACT_IFFT=fourstep must be numerically
+    interchangeable with the native lowering."""
+    from radiocore_tpu.ops import channelize
+
+    n, m = 65536, 8192
+    # uniform critically-sampled grid of 8 channels
+    shifts = tuple(-(((k * m + n // 2) % n) - n // 2) for k in range(n // m))
+    rng = np.random.default_rng(8)
+    spec = (rng.standard_normal(n)
+            + 1j * rng.standard_normal(n)).astype(np.complex64)
+
+    want = np.asarray(channelize.make_extractor(n, shifts, m)(
+        jnp.asarray(spec)))
+    channelize.make_extractor.cache_clear()
+    monkeypatch.setenv("RADIOCORE_TPU_EXTRACT_IFFT", "fourstep")
+    got = np.asarray(channelize.make_extractor(n, shifts, m)(
+        jnp.asarray(spec)))
+    channelize.make_extractor.cache_clear()
+    scale = np.max(np.abs(want))
+    np.testing.assert_allclose(got, want, atol=1e-5 * scale)
