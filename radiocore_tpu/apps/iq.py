@@ -134,6 +134,7 @@ class IQFileSource:
         self._pos = 0
 
     def read_chunk(self, seconds: float = 1.0) -> np.ndarray:
+        """Synthesize ``seconds`` of band IQ (complex64, host)."""
         n = int(self.sample_rate * seconds)
         out = np.empty(n, np.complex64)
         sps = self._scalars_per_sample
@@ -197,6 +198,7 @@ class SoapySdrSource:
         self._sdr.activateStream(self._stream)
 
     def read_chunk(self, seconds: float = 1.0) -> np.ndarray:
+        """Read ``seconds`` of IQ from the file (wraps at EOF)."""
         n = int(self.sample_rate * seconds)
         out = np.empty(n, np.complex64)
         staging = np.empty(self._slab, np.complex64)
@@ -213,6 +215,7 @@ class SoapySdrSource:
         return out
 
     def close(self) -> None:
+        """Release the mmap/file handle."""
         self._sdr.deactivateStream(self._stream)
         self._sdr.closeStream(self._stream)
 
@@ -244,6 +247,7 @@ class AudioDeviceSink:
         self._stream.start()
 
     def write(self, audio: np.ndarray) -> None:
+        """Append one chunk of float audio (any shape (N,) or (N, C))."""
         try:
             self._queue.put_nowait(np.asarray(audio, np.float32)
                                    .reshape(-1, self.channels))
@@ -251,6 +255,7 @@ class AudioDeviceSink:
             pass  # drop on backpressure, like the reference's queue
 
     def close(self) -> None:
+        """Finalize the WAV header and close the file."""
         self._stream.stop()
         self._stream.close()
 
@@ -270,9 +275,11 @@ class WavSink:
         self._chunks: List[np.ndarray] = []
 
     def write(self, audio: np.ndarray) -> None:
+        """Queue one chunk to the audio device."""
         self._chunks.append(np.asarray(audio, dtype=np.float32))
 
     def close(self) -> None:
+        """Stop the stream and release the device."""
         from scipy.io import wavfile
         if not self._chunks:
             return

@@ -19,6 +19,7 @@ from radiocore_tpu.apps.iq import WavSink
 
 def receive(frequency: float, connect: str, seconds: float,
             channels: int, audio_rate: int, sink) -> int:
+    """Subscribe to one station topic and write its audio to WAV."""
     import zmq
     ctx = zmq.Context()
     sock = ctx.socket(zmq.SUB)
@@ -44,6 +45,7 @@ def receive(frequency: float, connect: str, seconds: float,
 
 
 def main(argv=None) -> None:
+    """CLI entry (see --help)."""
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("frequency", type=float)
     parser.add_argument("--connect", default="tcp://localhost:5555")

@@ -139,6 +139,7 @@ def serve_fused(specs: Sequence[StationSpec], band_rate: float,
 
 
 def main(argv=None) -> None:
+    """CLI entry: serve N stations as ZMQ PUB topics (see --help)."""
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--stations", type=int, default=3)
     parser.add_argument("--band-rate", type=float, default=10e6,

@@ -123,6 +123,7 @@ def run(config: Config, source, sink, seconds: float,
 
 
 def main(argv=None) -> None:
+    """CLI entry: single-station receive to WAV/audio (see --help)."""
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("frequency", nargs="?", type=float, default=96.9e6,
                         help="station frequency (Hz), parity with the "

@@ -35,9 +35,11 @@ class Bandpass:
 
     @property
     def taps(self) -> np.ndarray:
+        """The designed FIR taps (host NumPy, for inspection/tests)."""
         return self._taps
 
     def run(self, input_sig):
+        """Zero-phase bandpass one chunk (scipy filtfilt edge semantics)."""
         if len(input_sig) != self._input_size:
             raise ValueError("input_sig size and input_size mismatch")
         if jnp.issubdtype(jnp.dtype(self._dtype), jnp.complexfloating):

@@ -30,6 +30,7 @@ class Decimate:
             lambda x: resample_fft(x, self._output_size, self._win))
 
     def run(self, input_sig):
+        """FFT-resample one chunk to the output rate (scipy semantics)."""
         if len(input_sig) != self._input_size:
             raise ValueError("input_sig size and input_size mismatch")
         if (np.iscomplexobj(input_sig)

@@ -28,6 +28,7 @@ class Deemphasis:
             lambda x, h: deemphasis_apply(x, self._taps, h))
 
     def run(self, input_sig):
+        """Apply streaming de-emphasis to one chunk (state carried)."""
         if len(input_sig) != self._input_size:
             raise ValueError("input_sig size and input_size mismatch")
         x = to_device_f32(input_sig).astype(self._dtype)

@@ -52,9 +52,12 @@ class FM:
 
     @property
     def channels(self) -> int:
+        """Audio channel count (1: mono)."""
         return 1
 
     def run(self, input_sig, numpy_output: bool = True):
+        """Demodulate one chunk (reference FM.run parity: returns numpy
+                ``(output_size, 1)`` unless ``numpy_output=False``)."""
         if len(input_sig) != self._input_size:
             raise ValueError("input_sig size and input_size mismatch")
         iq = to_device_c64(input_sig)

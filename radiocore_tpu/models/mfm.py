@@ -58,9 +58,12 @@ class MFM:
 
     @property
     def channels(self) -> int:
+        """Audio channel count (1: mono)."""
         return 1
 
     def run(self, input_sig, numpy_output: bool = True):
+        """Demodulate one chunk, carrying de-emphasis state across calls
+                (reference MFM.run parity)."""
         if len(input_sig) != self._input_size:
             raise ValueError("input_sig size and input_size mismatch")
         iq = to_device_c64(input_sig)

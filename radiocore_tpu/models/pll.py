@@ -31,7 +31,9 @@ class PLL:
         self._baseline = self._analytic(x)
 
     def real(self, mult: float = 1.0) -> jnp.ndarray:
+        """Real part of the locked carrier at ``harmonic`` (cosine)."""
         return pll_harmonic(self._baseline, int(mult), "real")
 
     def image(self, mult: float = 1.0) -> jnp.ndarray:
+        """Imag part of the locked carrier at ``harmonic`` (sine)."""
         return pll_harmonic(self._baseline, int(mult), "imag")

@@ -281,9 +281,12 @@ class WBFM:
 
     @property
     def channels(self) -> int:
+        """Audio channel count (2: stereo)."""
         return 2
 
     def run(self, input_sig, numpy_output: bool = True):
+        """Demodulate one chunk to stereo audio, carrying state across
+                calls (reference WBFM.run parity)."""
         if len(input_sig) != self._input_size:
             raise ValueError("input_sig size and input_size mismatch")
         iq = to_device_c64(input_sig)

@@ -107,12 +107,15 @@ class NativeRing:
 
     @property
     def occupancy_bytes(self) -> int:
+        """Bytes currently readable."""
         return self._lib.rc_ring_occupancy(self._handle)
 
     def reset(self) -> None:
+        """Drop all buffered bytes (the overflow semantics hook)."""
         self._lib.rc_ring_reset(self._handle)
 
     def put_bytes(self, buf) -> int:
+        """Copy ``data`` in; returns False (no space) without blocking."""
         addr = ctypes.cast(
             (ctypes.c_char * len(buf)).from_buffer_copy(buf)
             if isinstance(buf, (bytes, bytearray)) else
@@ -121,11 +124,13 @@ class NativeRing:
         return self._lib.rc_ring_put(self._handle, addr, n)
 
     def get_bytes(self, out) -> int:
+        """Pop exactly ``n`` bytes, or None if fewer are buffered."""
         addr = ctypes.c_void_p(out.ctypes.data)
         return self._lib.rc_ring_get(self._handle, addr, out.nbytes)
 
 
 def load_native_ring(capacity_bytes: int) -> NativeRing:
+    """Build (once) and load the C++ SPSC ring extension via ctypes."""
     return NativeRing(capacity_bytes)
 
 

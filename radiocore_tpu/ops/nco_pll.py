@@ -45,6 +45,7 @@ def pll_design(fs: float, f0: float = 19e3, loop_bw_hz: float = 50.0,
 
 
 def pll_init(batch_shape: Tuple[int, ...] = ()) -> PLLState:
+    """Initial loop state (phase, frequency, lock metric) per station."""
     zeros = jnp.zeros(batch_shape, dtype=jnp.float32)
     return PLLState(phase=zeros, freq=zeros)
 

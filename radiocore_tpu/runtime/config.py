@@ -36,6 +36,7 @@ class MeshConfig:
 
     @property
     def n_devices(self) -> int:
+        """Total devices the mesh spans (stations × time)."""
         return self.stations * self.time
 
 
@@ -61,12 +62,15 @@ class PipelineConfig:
 
     @property
     def chunk_size(self) -> int:
+        """IQ samples per chunk at the SDR input rate."""
         return int(self.input_rate * self.chunk_seconds)
 
     @property
     def demod_chunk(self) -> int:
+        """IQ samples per chunk at the per-station demod rate."""
         return int(self.demod_rate * self.chunk_seconds)
 
     @property
     def audio_chunk(self) -> int:
+        """Audio samples per chunk per station."""
         return int(self.audio_rate * self.chunk_seconds)

@@ -146,6 +146,7 @@ class ThreadedIngest:
         self._q.put(np.array(arr, copy=True), timeout=timeout)
 
     def close(self) -> None:
+        """Signal end-of-stream; the consumer iterator then drains and stops."""
         self._q.put(self._DONE)
 
     def __iter__(self) -> Iterator[jnp.ndarray]:

@@ -25,10 +25,12 @@ class Metrics:
         self._t0 = time.monotonic()
 
     def incr(self, name: str, value: float = 1.0) -> None:
+        """Add ``n`` to counter ``name`` (creates it at 0)."""
         with self._lock:
             self._counters[name] += value
 
     def gauge(self, name: str, value: float) -> None:
+        """Set gauge ``name`` to ``value`` (last-write-wins)."""
         with self._lock:
             self._gauges[name] = value
 
@@ -38,6 +40,7 @@ class Metrics:
         return seconds_of_signal / wall if wall > 0 else float("inf")
 
     def snapshot(self) -> Dict[str, float]:
+        """Consistent point-in-time copy of all counters and gauges."""
         with self._lock:
             out = dict(self._counters)
             out.update(self._gauges)

@@ -39,6 +39,8 @@ class StageTimer:
 
     @contextlib.contextmanager
     def stage(self, name: str, sync_value=None) -> Iterator[None]:
+        """Context manager timing one named stage (optionally blocking on
+                ``sync_value`` so async dispatch is charged to the right stage)."""
         t0 = time.perf_counter()
         try:
             yield
@@ -55,6 +57,7 @@ class StageTimer:
         return value
 
     def report(self) -> Dict[str, Dict[str, float]]:
+        """Per-stage ``{name: {mean_ms, count, total_ms}}`` summary."""
         return {
             name: {"total_s": total,
                    "count": self._counts[name],

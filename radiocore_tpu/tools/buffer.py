@@ -36,10 +36,12 @@ class Buffer:
 
     @property
     def dtype(self):
+        """Element dtype."""
         return self._array.dtype
 
     @property
     def size(self) -> int:
+        """Element count."""
         return self._size
 
     def __len__(self) -> int:
@@ -47,6 +49,7 @@ class Buffer:
 
     @property
     def is_device(self) -> bool:
+        """True when the storage is a device array."""
         return self._device
 
     @property
@@ -55,6 +58,8 @@ class Buffer:
 
     @property
     def is_locked(self) -> bool:
+        """Reference API alias (reference Buffer.is_cuda): device-resident?"""
+        """True while a consume() view is outstanding."""
         if self._mtx is None:
             raise ValueError("locking is not enabled in this instance")
         return self._mtx.locked()

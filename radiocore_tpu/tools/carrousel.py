@@ -32,22 +32,27 @@ class Carrousel:
 
     @property
     def occupancy(self) -> int:
+        """Slots currently filled."""
         return self._occupancy
 
     @property
     def capacity(self) -> int:
+        """Total slots."""
         return self._capacity
 
     @property
     def is_empty(self) -> bool:
+        """True when no slot is filled."""
         return self._occupancy == 0
 
     @property
     def is_full(self) -> bool:
+        """True when every slot is filled."""
         return self._occupancy >= self._capacity
 
     @property
     def overflow(self) -> int:
+        """Count of overwrites of unread slots (head advanced)."""
         return self._overflow
 
     @property
@@ -56,6 +61,7 @@ class Carrousel:
         return self._occupancy >= 1
 
     def reset(self) -> None:
+        """Empty all slots and clear the overflow counter."""
         self._read = self._write = 0
         self._occupancy = 0
 

@@ -22,14 +22,17 @@ class Chopper:
 
     @property
     def size(self) -> int:
+        """Total samples in the wrapped buffer."""
         return self._size
 
     @property
     def chunk_size(self) -> int:
+        """Samples per chop."""
         return self._chunk_size
 
     @property
     def n_chunks(self) -> int:
+        """Number of chunks the buffer divides into."""
         return self._size // self._chunk_size
 
     def chop(self, input_arr):

@@ -53,6 +53,7 @@ class RingBuffer:
 
     @property
     def capacity(self) -> int:
+        """Total capacity in samples."""
         return self._capacity
 
     @property
@@ -62,6 +63,7 @@ class RingBuffer:
 
     @property
     def occupancy(self) -> int:
+        """Samples currently readable."""
         if self._native is not None:
             return self._native.occupancy_bytes // self._dtype.itemsize
         with self._lock:
@@ -69,6 +71,7 @@ class RingBuffer:
 
     @property
     def vacancy(self) -> int:
+        """Samples writable before overflow."""
         return self.capacity - self.occupancy
 
     @property
@@ -81,6 +84,7 @@ class RingBuffer:
         return self._ring
 
     def reset(self) -> None:
+        """Drop all buffered samples (the overflow recovery path)."""
         if self._native is not None:
             self._native.reset()
             return

@@ -95,6 +95,7 @@ class Tuner:
         return self._input_bandwidth
 
     def channels(self) -> List[Channel]:
+        """The configured Channel list (reference parity)."""
         return self._channels
 
     def request_bandwidth(self, bandwidth: float) -> None:
@@ -107,6 +108,8 @@ class Tuner:
 
     def add_channel(self, frequency: float, bandwidth: float,
                     demodulator) -> None:
+        """Register a station (frequency, bandwidth); recomputes the band
+                plan exactly like the reference (mean-bandwidth padding)."""
         self._channels.append(Channel(
             index=len(self._channels),
             bandwidth=bandwidth,
@@ -118,6 +121,7 @@ class Tuner:
         self._recalculate()
 
     def reset(self) -> None:
+        """Clear all channels and the loaded band."""
         self._channels = []
         self._spectrum = None
         self._input_frequency = 0.0
