@@ -12,6 +12,8 @@ CLAUDE.md relay traps):
   native    jnp.fft.ifft on (C, m) directly (the r2 lowering)
   fourstep  m = n1·n2 split: two batched small native FFTs + on-the-fly
             twiddle + transposes (no custom-call pass over a 2^18 axis)
+  pallas    whole-row VMEM MXU kernel (kernels/fft_pallas.py): one HBM
+            read+write per row, butterflies on-chip
   full      the shipped extractor (for cross-check)
 
     python benchmarks/extract_profile.py [--stations 64] [--iters 6]
@@ -75,10 +77,14 @@ def main(argv=None) -> None:
     from radiocore_tpu.ops import fft as _fft
     extract_full = make_extractor(n, shifts, m)
 
+    from radiocore_tpu.kernels.fft_pallas import fft_pow2_pallas
+
     variants = {
         "reorder": lambda s: reorder_only(s),
         "native": lambda s: jnp.fft.ifft(reorder_only(s) / s_fac),
         "fourstep": lambda s: _fft.ifft_decomposed(reorder_only(s) / s_fac),
+        "pallas": lambda s: fft_pow2_pallas(
+            reorder_only(s) / (s_fac * m), sign=+1.0),
         "full": lambda s: extract_full(s),
     }
 

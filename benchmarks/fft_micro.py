@@ -37,6 +37,7 @@ def main(argv=None) -> None:
     import jax
     import jax.numpy as jnp
     from radiocore_tpu.ops import fft as _fft
+    from radiocore_tpu.kernels import fft_pallas as _fp
     from radiocore_tpu.runtime.transfer import to_host
 
     n = args.n
@@ -62,6 +63,9 @@ def main(argv=None) -> None:
             x.reshape(64, -1), axis=-1).reshape(-1),
         "native_2e24": lambda x: jnp.fft.fft(x),
         "fourstep_2e24": lambda x: _fft.fft_decomposed(x),
+        "pallas_b2e18": lambda x: _fp.fft_pow2_pallas(
+            x.reshape(64, -1)).reshape(-1),
+        "pallas_2e24": lambda x: _fp.fft_large_pow2_pallas(x),
     }
     if args.only:
         keep = set(args.only.split(","))

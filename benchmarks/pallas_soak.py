@@ -34,7 +34,13 @@ def main(argv=None) -> int:
     parser.add_argument("--block-rows", type=int, nargs="*", default=None,
                         help="with --device-loop: block_rows values to "
                              "sweep (default: 256 512 1024 2048)")
+    parser.add_argument("--fft", action="store_true",
+                        help="soak the Pallas whole-row FFT kernel "
+                             "(kernels/fft_pallas.py) instead of the FIR")
     args = parser.parse_args(argv)
+
+    if args.fft:
+        return _fft_soak(args)
 
     import numpy as np
     import jax
@@ -216,6 +222,104 @@ def main(argv=None) -> int:
 
     print(json.dumps({"soak": "PASS" if ok else "FAIL"}), flush=True)
     return 0 if ok else 1
+
+
+def _fft_soak(args) -> int:
+    """Correctness (vs the native XLA FFT, on device) + device-loop
+    throughput for the Pallas whole-row FFT kernel."""
+    import jax
+    import jax.numpy as jnp
+    from radiocore_tpu.kernels import fft_pallas as _fp
+
+    v = jax.jit(lambda v: v + 1)(jnp.ones(8))
+    jax.block_until_ready(v)
+    print(json.dumps({"backend": str(jax.devices()[0]),
+                      "soak": "fft-kernel"}), flush=True)
+    ok = True
+
+    def make_x(batch, n, key):
+        @jax.jit
+        def mk(k):
+            p = 0.1 * jax.random.normal(k, (2, batch, n), jnp.float32)
+            return jax.lax.complex(p[0], p[1])
+        return mk(key)
+
+    # ---- correctness vs the native lowering, transfer-free ---------------
+    cases = ([(8, 4096, "fwd"), (4, 65_536, "fwd")] if args.quick else
+             [(64, 1 << 18, "fwd"), (64, 1 << 18, "inv"),
+              (4096, 4096, "fwd"), (1, 1 << 24, "large")])
+    for batch, n, kind in cases:
+        x = make_x(batch, n, jax.random.key(batch + n))
+
+        @jax.jit
+        def diff(x, _n=n, _kind=kind):
+            if _kind == "inv":
+                a = _fp.fft_pow2_pallas(x, sign=+1.0) / _n
+                b = jnp.fft.ifft(x, axis=-1)
+            elif _kind == "large":
+                a = _fp.fft_large_pow2_pallas(x[0])
+                b = jnp.fft.fft(x[0])
+            else:
+                a = _fp.fft_pow2_pallas(x)
+                b = jnp.fft.fft(x, axis=-1)
+            return jnp.max(jnp.abs(a - b)), jnp.max(jnp.abs(b))
+
+        err, ref = (float(s) for s in diff(x))
+        rel = err / max(ref, 1e-30)
+        good = rel < 1e-4
+        ok &= good
+        print(json.dumps({"case": f"fft {kind} b={batch} n={n}",
+                          "max_rel_err": f"{rel:.2e}", "ok": good}),
+              flush=True)
+
+    # ---- device-loop throughput (marginal per call, dispatch excluded) ---
+    if not args.quick:
+        import time
+        for label, batch, n, fn in (
+                ("rows b=64 n=2^18", 64, 1 << 18,
+                 lambda x: _fp.fft_pow2_pallas(x) * (1.0 / np_sqrt(1 << 18))),
+                ("large n=2^24", 1, 1 << 24,
+                 lambda x: _fp.fft_large_pow2_pallas(x[0])[None]
+                 * (1.0 / np_sqrt(1 << 24)))):
+            xs = [make_x(batch, n, jax.random.key(50 + i)) for i in range(4)]
+            jax.block_until_ready(xs)
+
+            def time_k(k, _fn=fn):
+                @jax.jit
+                def run(x, c):
+                    x = x * (1.0 + c * 1e-3)
+                    x = jax.lax.fori_loop(0, k, lambda i, x: _fn(x), x)
+                    return (jnp.mean(jnp.abs(x.ravel()[::4096]))
+                            + jnp.real(x.ravel()[0]) * 1e-3)
+                chk = run(xs[-1], jnp.float32(0))
+                float(chk)
+                best = float("inf")
+                for _ in range(2):
+                    float(chk)
+                    t0 = time.perf_counter()
+                    for i in range(3):
+                        chk = run(xs[i], chk)
+                    float(chk)
+                    best = min(best, (time.perf_counter() - t0) / 3)
+                return best
+
+            t2, t8 = time_k(2), time_k(8)
+            marginal = (t8 - t2) / 6
+            min_bytes = batch * n * 16          # c64 in + out
+            print(json.dumps({
+                "case": f"fft device-loop {label}",
+                "marginal_ms_per_call": round(marginal * 1e3, 3),
+                "effective_gb_per_s": round(min_bytes / marginal / 1e9, 1),
+                "hbm_fraction_v5e": round(min_bytes / marginal / 819e9, 3),
+            }), flush=True)
+
+    print(json.dumps({"soak": "PASS" if ok else "FAIL"}), flush=True)
+    return 0 if ok else 1
+
+
+def np_sqrt(v: float) -> float:
+    import math
+    return math.sqrt(v)
 
 
 if __name__ == "__main__":

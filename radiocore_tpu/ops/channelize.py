@@ -75,10 +75,17 @@ def make_extractor(n: int, shifts: Tuple[int, ...],
 
     # Batched per-channel IFFT lowering: 'native' (one custom-call pass
     # over the m axis), 'fourstep' (two batched small native FFTs +
-    # fused twiddle — ops.fft.ifft_decomposed), or 'auto'. The env knob
-    # exists for hardware A/B (benchmarks/extract_profile.py).
+    # fused twiddle — ops.fft.ifft_decomposed), 'pallas' (whole-row
+    # VMEM kernel, kernels/fft_pallas.py — one HBM read+write), or
+    # 'auto'. The env knob exists for hardware A/B
+    # (benchmarks/extract_profile.py).
     import os
     _impl = os.environ.get("RADIOCORE_TPU_EXTRACT_IFFT", "auto")
+
+    def _pallas_ok() -> bool:
+        from radiocore_tpu.kernels.fft_pallas import MAX_ROW, MIN_ROW
+        from radiocore_tpu.runtime.platform import has_tpu
+        return (m & (m - 1)) == 0 and MIN_ROW <= m <= MAX_ROW and has_tpu()
 
     def finish(y_all: jnp.ndarray) -> jnp.ndarray:
         # Barrier pins a canonical layout: without it the SPMD partitioner
@@ -86,6 +93,11 @@ def make_extractor(n: int, shifts: Tuple[int, ...],
         y_all = jax.lax.optimization_barrier(y_all)
         if _impl == "fourstep":
             return _fft.ifft_decomposed(y_all / s_fac)
+        if _impl == "pallas" and _pallas_ok():
+            from radiocore_tpu.kernels.fft_pallas import fft_pow2_pallas
+            # Unnormalized backward DFT; fold 1/(s_fac·m) into the input
+            # scale (fuses with the window multiply upstream).
+            return fft_pow2_pallas(y_all / (s_fac * m), sign=+1.0)
         return _fft.ifft(y_all / s_fac)
 
     def extract_uniform(spectrum: jnp.ndarray) -> jnp.ndarray:

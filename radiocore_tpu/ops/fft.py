@@ -165,6 +165,29 @@ def _split(n: int) -> Tuple[int, int]:
     return a, n // a
 
 
+# Pow2 sizes at or above this route to the Pallas whole-row MXU FFT
+# (kernels/fft_pallas.py) on accelerator backends: one HBM read+write
+# per transform instead of XLA's multi-pass custom call. Opt-in via
+# RADIOCORE_TPU_FFT_PALLAS_MIN until the hardware A/B lands
+# (benchmarks/fft_micro.py pallas_* cases); 0/unset disables.
+def _pallas_min() -> int:
+    raw = os.environ.get("RADIOCORE_TPU_FFT_PALLAS_MIN")
+    if raw is None:
+        return 1 << 62
+    v = int(float(raw))
+    return v if v > 0 else (1 << 62)
+
+
+def _use_pallas(n: int) -> bool:
+    if n & (n - 1) or n < _pallas_min():
+        return False
+    from radiocore_tpu.kernels import fft_pallas as _fp
+    if n < _fp.MIN_ROW or n > _fp.MAX_ROW * _fp.LANES:
+        return False
+    from radiocore_tpu.runtime.platform import has_tpu
+    return has_tpu()
+
+
 def _use_native(n: int) -> bool:
     if _policy == "native":
         return True
@@ -220,6 +243,11 @@ def _apply_twiddle(z: jnp.ndarray, n1: int, n2: int,
 def _fft_rec(x: jnp.ndarray, sign: float) -> jnp.ndarray:
     """Unnormalized DFT (sign=-1 forward, +1 backward) along the last axis."""
     n = x.shape[-1]
+    if _use_pallas(n):
+        from radiocore_tpu.kernels import fft_pallas as _fp
+        if n <= _fp.MAX_ROW:
+            return _fp.fft_pow2_pallas(x, sign)
+        return _fp.fft_large_pow2_pallas(x, sign)
     plan = _plan(n)
     if plan is None:
         return jnp.fft.fft(x, axis=-1) if sign < 0 else (
