@@ -14,6 +14,10 @@ float() barriers — CLAUDE.md):
   bfft_2e18  batched native FFT, 64 rows of 262144 (extraction's shape)
   native_2e24   single native FFT of 2^24 (bench.py band size)
   fourstep_2e24 planner four-step of 2^24 (fft_decomposed)
+  pallas_b2e18  Pallas whole-row VMEM kernel, 64 rows of 262144
+                (kernels/fft_pallas.py — extraction's shape)
+  pallas_2e24   composed long-FFT path (matmul column FFT + Pallas
+                rows + transpose) at the band size
 
     python benchmarks/fft_micro.py [--iters 6] [--only A,B,...]
 """

@@ -320,18 +320,17 @@ def fft_large_pow2_pallas(x: jnp.ndarray, sign: float = -1.0,
     lead = x.shape[:-1]
     v = x.reshape(lead + (a, b))
     dr, di = _dft_planes(a, sign)
-    d = jnp.asarray(dr + 1j * di, dtype=jnp.complex64)
-    nb = len(lead)
-    g = jax.lax.dot_general(
-        d, v, (((1,), (nb,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.complex64)
-    if nb:
-        g = jnp.moveaxis(g, 0, -2)
+    # Planar XLA-level column FFT (4 real MXU matmuls at HIGHEST — a
+    # complex dot would work too, but the explicit form avoids any
+    # exotic complex-dot lowering on the relay backend).
+    gr, gi = _cmatmul(jnp.real(v), jnp.imag(v), jnp.asarray(dr),
+                      jnp.asarray(di), contract_left=True)
     p = jax.lax.broadcasted_iota(jnp.float32, (a, b), 0)
     q = jax.lax.broadcasted_iota(jnp.float32, (a, b), 1)
     ang = jnp.float32(sign * 2.0 * np.pi / n) * (p * q)
-    g = g * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
-    rr, ri = fft_pow2_pallas_planar(jnp.real(g), jnp.imag(g), sign)
+    wr, wi = jnp.cos(ang), jnp.sin(ang)
+    tr = gr * wr - gi * wi
+    ti = gr * wi + gi * wr
+    rr, ri = fft_pow2_pallas_planar(tr, ti, sign)
     r = jax.lax.complex(rr, ri)                   # (..., a, b), rows done
     return jnp.swapaxes(r, -1, -2).reshape(lead + (n,))

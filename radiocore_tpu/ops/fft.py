@@ -316,6 +316,10 @@ def rfft(x: jnp.ndarray) -> jnp.ndarray:
     the native kernel is unusable anyway).
     """
     n = x.shape[-1]
+    if _use_pallas(n):
+        from radiocore_tpu.kernels import fft_pallas as _fp
+        if _fp.MIN_ROW <= n // 2 <= _fp.MAX_ROW:
+            return _fp.rfft_pow2_pallas(x)
     if _plan(n) is None:
         return jnp.fft.rfft(x, axis=-1)
     return fft(x)[..., :n // 2 + 1]
@@ -324,7 +328,12 @@ def rfft(x: jnp.ndarray) -> jnp.ndarray:
 def irfft(X: jnp.ndarray, n: int) -> jnp.ndarray:
     """Inverse real FFT along the last axis to length ``n`` (planned)."""
     X = jnp.asarray(X)
-    if _plan(int(n)) is None:
+    n = int(n)
+    if _use_pallas(n) and X.shape[-1] == n // 2 + 1:
+        from radiocore_tpu.kernels import fft_pallas as _fp
+        if _fp.MIN_ROW <= n // 2 <= _fp.MAX_ROW:
+            return _fp.irfft_pow2_pallas(X, n)
+    if _plan(n) is None:
         return jnp.fft.irfft(X, n=n, axis=-1)
     # Rebuild the Hermitian spectrum; clamp DC/Nyquist imag parts like irfft.
     m = X.shape[-1]
