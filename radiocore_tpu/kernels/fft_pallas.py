@@ -76,12 +76,21 @@ def _dft_planes(size: int, sign: float) -> Tuple[np.ndarray, np.ndarray]:
             np.sin(ang).astype(np.float32))
 
 
-def _cmatmul(ar, ai, br, bi, contract_left: bool):
-    """Complex matmul from planar f32 planes (4 real MXU matmuls).
+# Complex-matmul form: "4mm" (4 real matmuls — default) or "3mm"
+# (Karatsuba: 25% fewer MXU FLOPs at the cost of one extra elementwise
+# add and mild cancellation error — worth it only if the hardware soak
+# shows the kernel compute-bound rather than HBM-bound).
+import os
+_CMUL = os.environ.get("RADIOCORE_TPU_FFT_CMUL", "4mm")
 
-    ``contract_left``: result = A @ X (A is the small DFT matrix, X has
-    shape (..., A, B) — contract X's axis -2). Otherwise X @ A
-    (contract X's axis -1).
+
+def _cmatmul(ar, ai, br, bi, contract_left: bool):
+    """Complex matmul from planar f32 planes on the MXU.
+
+    ``contract_left``: result = B @ X (B is the small DFT matrix, X has
+    shape (..., A, B) — contract X's axis -2). Otherwise X @ B
+    (contract X's axis -1). The DFT matrix is symmetric, so left/right
+    use the same planes.
     """
     hi = jax.lax.Precision.HIGHEST
 
@@ -97,6 +106,14 @@ def _cmatmul(ar, ai, br, bi, contract_left: bool):
         return jax.lax.dot_general(
             x, m, (((x.ndim - 1,), (0,)), ((), ())),
             precision=hi, preferred_element_type=jnp.float32)
+
+    if _CMUL == "3mm":
+        # (br + i·bi)(ar + i·ai): m1 = br·ar, m2 = bi·ai,
+        # m3 = (br+bi)(ar+ai); yr = m1 − m2, yi = m3 − m1 − m2.
+        m1 = mm(br, ar)
+        m2 = mm(bi, ai)
+        m3 = mm(br + bi, ar + ai)
+        return m1 - m2, m3 - m1 - m2
 
     if contract_left:
         yr = mm(br, ar) - mm(bi, ai)
@@ -142,28 +159,27 @@ def _fft_kernel(*refs, sizes, sign, a1, b1):
     for k, s in enumerate(sizes):
         dft[s] = (refs[2 + 2 * k][...], refs[3 + 2 * k][...])
     or_ref, oi_ref = refs[-2], refs[-1]
-    xr = xr_ref[0]                                # (a1, b1)
-    xi = xi_ref[0]
+    xr = xr_ref[...]                              # (g, a1, b1)
+    xi = xi_ref[...]
     length = a1 * b1
-    if length <= LANES:
-        yr, yi = _fft_rows(xr.reshape(length), xi.reshape(length),
-                           dft, sign)
-        or_ref[0] = yr.reshape(a1, b1)
-        oi_ref[0] = yi.reshape(a1, b1)
-        return
     dr, di = dft[a1]
     gr, gi = _cmatmul(xr, xi, dr, di, contract_left=True)
     wr, wi = _twiddle(a1, b1, length, sign)
     tr = gr * wr - gi * wi
     ti = gr * wi + gi * wr
-    rr, ri = _fft_rows(tr, ti, dft, sign)        # (a1, b1), FFT over b1
-    or_ref[0] = jnp.swapaxes(rr, -1, -2)         # (b1, a1): k = p + a1·q
-    oi_ref[0] = jnp.swapaxes(ri, -1, -2)
+    rr, ri = _fft_rows(tr, ti, dft, sign)        # (g, a1, b1), FFT over b1
+    or_ref[...] = jnp.swapaxes(rr, -1, -2)       # (g, b1, a1): k = p + a1·q
+    oi_ref[...] = jnp.swapaxes(ri, -1, -2)
 
 
-@functools.partial(jax.jit, static_argnames=("sign",))
-def _fft_call(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
-    """xr/xi: (batch, A1, B1) f32 → (batch, B1, A1) planar DFT rows."""
+@functools.partial(jax.jit, static_argnames=("sign", "group"))
+def _fft_call(xr: jnp.ndarray, xi: jnp.ndarray, sign: float, group: int):
+    """xr/xi: (batch, A1, B1) f32 → (batch, B1, A1) planar DFT rows.
+
+    ``group`` rows are processed per grid step (the wrapper targets
+    ~2^18 elements of work per step and pads the batch to a multiple)
+    so short transforms stay pipelined instead of dispatch-bound.
+    """
     batch, a1, b1 = xr.shape
     length = a1 * b1
     sizes = tuple(plan_sizes(length))
@@ -189,14 +205,14 @@ def _fft_call(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
                                                 c.ndim),
                      memory_space=pltpu.VMEM) for c in consts
     ]
-    row_spec = pl.BlockSpec((1, a1, b1), lambda i: (i, 0, 0),
+    row_spec = pl.BlockSpec((group, a1, b1), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, b1, a1), lambda i: (i, 0, 0),
+    out_spec = pl.BlockSpec((group, b1, a1), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_fft_kernel, sizes=sizes, sign=sign,
                           a1=a1, b1=b1),
-        grid=(batch,),
+        grid=(batch // group,),
         in_specs=[row_spec, row_spec] + const_specs,
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct((batch, b1, a1), jnp.float32),
@@ -228,7 +244,14 @@ def fft_pow2_pallas_planar(xr: jnp.ndarray, xi: jnp.ndarray,
     lead = xr.shape[:-1]
     xr3 = xr.reshape((-1, a1, b1)).astype(jnp.float32)
     xi3 = xi.reshape((-1, a1, b1)).astype(jnp.float32)
-    yr, yi = _fft_call(xr3, xi3, float(sign))
+    batch = xr3.shape[0]
+    # Group short rows (~2^18 elements of work per grid step) so small
+    # transforms stay pipelined instead of dispatch-bound. The group is
+    # the largest DIVISOR of the batch at or under the target — padding
+    # would cost a full extra HBM pass.
+    target = min(max((1 << 18) // length, 1), batch)
+    group = next(g for g in range(target, 0, -1) if batch % g == 0)
+    yr, yi = _fft_call(xr3, xi3, float(sign), group)
     return (yr.reshape(lead + (length,)), yi.reshape(lead + (length,)))
 
 
