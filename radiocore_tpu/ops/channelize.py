@@ -88,16 +88,20 @@ def make_extractor(n: int, shifts: Tuple[int, ...],
         return (m & (m - 1)) == 0 and MIN_ROW <= m <= MAX_ROW and has_tpu()
 
     def finish(y_all: jnp.ndarray) -> jnp.ndarray:
+        if _impl == "pallas" and _pallas_ok():
+            from radiocore_tpu.kernels.fft_pallas import fft_pow2_pallas
+            # Unnormalized backward DFT; fold 1/(s_fac·m) into the input
+            # scale. No optimization_barrier here: the kernel pins its
+            # own operand layouts, and the barrier would force an extra
+            # interleaved-c64 HBM materialization between the reorder
+            # and the kernel's planar split (one whole read+write pass
+            # of the (C, m) array).
+            return fft_pow2_pallas(y_all / (s_fac * m), sign=+1.0)
         # Barrier pins a canonical layout: without it the SPMD partitioner
         # may hand the CPU FFT runtime a non-dim0-major layout (RET_CHECK).
         y_all = jax.lax.optimization_barrier(y_all)
         if _impl == "fourstep":
             return _fft.ifft_decomposed(y_all / s_fac)
-        if _impl == "pallas" and _pallas_ok():
-            from radiocore_tpu.kernels.fft_pallas import fft_pow2_pallas
-            # Unnormalized backward DFT; fold 1/(s_fac·m) into the input
-            # scale (fuses with the window multiply upstream).
-            return fft_pow2_pallas(y_all / (s_fac * m), sign=+1.0)
         return _fft.ifft(y_all / s_fac)
 
     def extract_uniform(spectrum: jnp.ndarray) -> jnp.ndarray:
