@@ -98,6 +98,7 @@ def main(argv=None) -> None:
 
     peak = 819e9  # v5e HBM
     for name, fn in variants.items():
+      try:
         @jax.jit
         def timed(s, ch, _fn=fn):
             out = _fn(s * (1.0 + ch * 1e-3))
@@ -124,6 +125,9 @@ def main(argv=None) -> None:
             "min_traffic_gb_per_s": round(2 * n * 8 / dt / 1e9, 1),
             "floor_ms": round(floor * 1e3, 3),
         }), flush=True)
+      except Exception as e:  # one bad lowering must not kill the rest
+        print(json.dumps({"variant": name,
+                          "error": repr(e)[:300]}), flush=True)
 
 
 if __name__ == "__main__":

@@ -84,6 +84,7 @@ def main(argv=None) -> None:
     peak = 819e9
 
     for name, fn in cases.items():
+      try:
         @jax.jit
         def timed(x, c, _fn=fn):
             out = _fn(x * (1.0 + c * 1e-3))
@@ -108,6 +109,9 @@ def main(argv=None) -> None:
             "epoch_ms": [round(d * 1e3, 2) for d in epoch_means],
             "roofline_passes": round(dt / floor, 1),
         }), flush=True)
+      except Exception as e:  # one bad lowering must not kill the rest
+        print(json.dumps({"case": name, "error": repr(e)[:300]}),
+              flush=True)
 
 
 if __name__ == "__main__":
