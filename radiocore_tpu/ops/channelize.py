@@ -83,9 +83,11 @@ def make_extractor(n: int, shifts: Tuple[int, ...],
     _impl = os.environ.get("RADIOCORE_TPU_EXTRACT_IFFT", "auto")
 
     def _pallas_ok() -> bool:
+        # Explicit opt-in is honored on any backend (the kernel runs in
+        # interpret mode off-TPU — slow but correct, which is what the
+        # CPU parity tests exercise); only the size must qualify.
         from radiocore_tpu.kernels.fft_pallas import MAX_ROW, MIN_ROW
-        from radiocore_tpu.runtime.platform import has_tpu
-        return (m & (m - 1)) == 0 and MIN_ROW <= m <= MAX_ROW and has_tpu()
+        return (m & (m - 1)) == 0 and MIN_ROW <= m <= MAX_ROW
 
     def finish(y_all: jnp.ndarray) -> jnp.ndarray:
         if _impl == "pallas" and _pallas_ok():
