@@ -125,8 +125,11 @@ def _cmatmul(ar, ai, br, bi, contract_left: bool):
 
 
 def _twiddle(a: int, b: int, length: int, sign: float):
-    p = jax.lax.broadcasted_iota(jnp.float32, (a, b), 0)
-    q = jax.lax.broadcasted_iota(jnp.float32, (a, b), 1)
+    # Mosaic's tpu.iota only produces integers (hardware lowering rejects
+    # a float iota even though interpret mode accepts it) — generate i32
+    # and convert. p·q < L ≤ 2^19 stays exact in f32.
+    p = jax.lax.broadcasted_iota(jnp.int32, (a, b), 0).astype(jnp.float32)
+    q = jax.lax.broadcasted_iota(jnp.int32, (a, b), 1).astype(jnp.float32)
     ang = jnp.float32(sign * 2.0 * np.pi / length) * (p * q)
     return jnp.cos(ang), jnp.sin(ang)
 
