@@ -79,12 +79,17 @@ def main(argv=None) -> None:
 
     from radiocore_tpu.kernels.fft_pallas import fft_pow2_pallas
 
+    from radiocore_tpu.kernels.extract_pallas import extract_rows_pallas
+
     variants = {
         "reorder": lambda s: reorder_only(s),
         "native": lambda s: jnp.fft.ifft(reorder_only(s) / s_fac),
         "fourstep": lambda s: _fft.ifft_decomposed(reorder_only(s) / s_fac),
         "pallas": lambda s: fft_pow2_pallas(
             reorder_only(s) / (s_fac * m), sign=+1.0),
+        # Slice+window+fix+IFFT in ONE kernel pass (no XLA reorder).
+        "fused": lambda s: extract_rows_pallas(s, a0, c, m,
+                                               1.0 / (s_fac * m)),
         "full": lambda s: extract_full(s),
     }
 

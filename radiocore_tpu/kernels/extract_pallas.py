@@ -1,0 +1,188 @@
+"""Fused channel extraction: slice + window + Nyquist fix + IFFT in ONE
+Pallas kernel pass (SURVEY §7.2 item 5 — the fused-pipeline hot spot).
+
+Motivation (measured, extract_profile.json r3): the extraction stage is
+the fused pipeline's dominant cost, and MOST of it is not the IFFT —
+the XLA reorder/window alone (concatenate of rolled halves + window
+multiply over the (C, m) rows) runs at 35 GB/s, ~23× off the HBM
+roofline, because the concatenates materialize multiple intermediate
+passes. This kernel reads each station's slice of the band spectrum
+straight out of HBM (a BlockSpec index map expresses the roll — no data
+movement), applies the window, fixes the Nyquist bin, runs the whole
+backward transform in VMEM on the MXU, and writes time-domain station
+IQ: one HBM read of the spectrum + one write of the stations, the
+literal traffic floor.
+
+The reorder disappears into math (derivation checked against
+``ops.channelize.extract_uniform``, reference semantics
+``radiocore/tools/tuner.py:137-161``):
+
+* Channel c's windowed run ``y`` is a half-spectrum roll of a raw
+  contiguous row ``u``: ``y[j] = u[(j + m/2) mod m]``. A backward DFT
+  turns that roll into an output sign flip —
+  ``IDFT(y)[t] = (−1)^t · IDFT(u)[t]`` — so no data is ever reordered.
+* The hann window in raw coordinates is the closed form
+  ``w[k] = ½(1 + cos(2π(k − m/2)/n))`` for ALL k — including k = 0,
+  where the fftshifted-hann symmetry makes the even-m "fix" weight
+  (``win[n − m/2]``) the natural continuation. No window constant, no
+  special case: it is generated from iota in-kernel and fused into the
+  input scale.
+* The Nyquist fold (scipy resample's unpaired-bin handling) reduces to
+  ``u[0] = (x[0] + nxt) · w[0]`` where ``nxt`` is the NEXT station
+  row's first element — fetched by aliasing the same spectrum operand
+  with a +1-row index map (zero extra traffic).
+
+The transform body (four-step DFT-matrix butterflies on the MXU at
+``Precision.HIGHEST``) is shared with :mod:`fft_pallas`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from radiocore_tpu.runtime.platform import has_tpu
+from radiocore_tpu.kernels.fft_pallas import (
+    MAX_ROW, MIN_ROW, _dft_planes, _cmatmul, _fft_rows, _split, _twiddle,
+    plan_sizes,
+)
+
+
+def _extract_kernel(*refs, sizes, a1, b1, m, inv_n, s_norm):
+    xr_ref, xi_ref, nxr_ref, nxi_ref = refs[:4]
+    dft = {}
+    for k, s in enumerate(sizes):
+        dft[s] = (refs[4 + 2 * k][...], refs[5 + 2 * k][...])
+    or_ref, oi_ref = refs[-2], refs[-1]
+
+    xr = xr_ref[...]                                  # (1, a1, b1)
+    xi = xi_ref[...]
+
+    # Window in raw coordinates, generated from iota (exact ≤ 2^19 in
+    # f32): w[k] = ½·s_norm·(1 + cos(2π(k − m/2)/n)), k = ia·b1 + ib.
+    ia = jax.lax.broadcasted_iota(jnp.int32, (a1, b1), 0)
+    ib = jax.lax.broadcasted_iota(jnp.int32, (a1, b1), 1)
+    k = (ia * b1 + ib).astype(jnp.float32)
+    half = jnp.float32(0.5 * s_norm)
+    ang = jnp.float32(2.0 * np.pi * inv_n) * (k - jnp.float32(m // 2))
+    w = (half * (1.0 + jnp.cos(ang)))[None]           # (1, a1, b1)
+
+    ur = xr * w
+    ui = xi * w
+    # Nyquist fold: u[0] = (x[0] + nxt)·w[0]; x[0]·w[0] is already in.
+    w0 = jnp.float32(0.5 * s_norm * (1.0 + np.cos(np.pi * m * inv_n)))
+    at0 = ((ia == 0) & (ib == 0))[None]
+    ur = ur + jnp.where(at0, nxr_ref[0, 0, 0] * w0, 0.0)
+    ui = ui + jnp.where(at0, nxi_ref[0, 0, 0] * w0, 0.0)
+
+    # Backward four-step transform (sign = +1), same body as fft_pallas.
+    dr, di = dft[a1]
+    gr, gi = _cmatmul(ur, ui, dr, di, contract_left=True)
+    wr, wi = _twiddle(a1, b1, m, +1.0)
+    tr = gr * wr - gi * wi
+    ti = gr * wi + gi * wr
+    rr, ri = _fft_rows(tr, ti, dft, +1.0)             # (1, a1, b1)
+
+    # y[j] = u[(j + m/2) mod m] ⇒ out[t] = (−1)^t·IDFT(u)[t]; output
+    # order is t = q·a1 + p with a1 even, so (−1)^t = (−1)^p — a sign
+    # flip over the LAST axis of the (1, b1, a1) output block.
+    p = jax.lax.broadcasted_iota(jnp.int32, (b1, a1), 1)
+    flip = (1 - 2 * (p & 1)).astype(jnp.float32)[None]
+    or_ref[...] = jnp.swapaxes(rr, -1, -2) * flip
+    oi_ref[...] = jnp.swapaxes(ri, -1, -2) * flip
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("c", "m", "n", "r0", "s_norm"))
+def _extract_call(xr3, xi3, c: int, m: int, n: int, r0: int,
+                  s_norm: float):
+    a1 = _split(m)
+    b1 = m // a1
+    c2 = n // m                                        # rows in the view
+    sizes = tuple(plan_sizes(m))
+    consts = []
+    for s in sizes:
+        dr, di = _dft_planes(s, +1.0)
+        consts.extend([jnp.asarray(dr), jnp.asarray(di)])
+
+    contractions = []
+    l = m
+    while l > 128:
+        a = _split(l)
+        contractions.append(a)
+        l //= a
+    contractions.append(l)
+    flops = sum(8 * m * cs for cs in contractions) * c
+    bytes_acc = 4 * (2 * (c + c) * m + sum(2 * s * s for s in sizes))
+    trans = c * m * (2 * max(len(contractions) - 1, 0) + 1)
+
+    row = pl.BlockSpec((1, a1, b1), lambda i: ((i + r0) % c2, 0, 0),
+                       memory_space=pltpu.VMEM)
+    nxt = pl.BlockSpec((1, 1, 1), lambda i: ((i + r0 + 1) % c2, 0, 0),
+                       memory_space=pltpu.VMEM)
+    const_specs = [
+        pl.BlockSpec(cst.shape, functools.partial(
+            lambda nd, *_: (0,) * nd, cst.ndim), memory_space=pltpu.VMEM)
+        for cst in consts
+    ]
+    out = pl.BlockSpec((1, b1, a1), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_extract_kernel, sizes=sizes, a1=a1, b1=b1,
+                          m=m, inv_n=1.0 / n, s_norm=s_norm),
+        grid=(c,),
+        in_specs=[row, row, nxt, nxt] + const_specs,
+        out_specs=[out, out],
+        out_shape=[jax.ShapeDtypeStruct((c, b1, a1), jnp.float32),
+                   jax.ShapeDtypeStruct((c, b1, a1), jnp.float32)],
+        cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=bytes_acc,
+                                      transcendentals=trans),
+        interpret=not has_tpu(),
+    )(xr3, xi3, xr3, xi3, *consts)
+
+
+def extract_ok(n: int, m: int, c: int) -> bool:
+    """Whether the fused kernel supports this uniform extraction plan."""
+    return ((m & (m - 1)) == 0 and MIN_ROW <= m <= MAX_ROW
+            and n % m == 0 and n // m >= 2 and c <= n // m)
+
+
+def extract_rows_pallas(spectrum: jnp.ndarray, a0: int, c: int, m: int,
+                        s_norm: float) -> jnp.ndarray:
+    """Uniform-plan channel extraction, fused in one kernel pass.
+
+    ``spectrum (n,) c64 → stations (c, m) c64`` (time domain), matching
+    ``make_extractor``'s uniform path with hann windowing: station i's
+    run starts at spectrum bin ``(a0 + i·m) mod n``. ``s_norm`` is the
+    total scale (``1/(s_fac·m)`` — resample gain × IFFT normalization).
+
+    When ``a0`` is m-aligned the kernel reads the spectrum IN PLACE
+    (the roll lives in the BlockSpec index map); otherwise one XLA roll
+    pass makes the rows contiguous first.
+    """
+    n = int(spectrum.shape[-1])
+    if spectrum.ndim != 1:
+        raise ValueError("extract_rows_pallas: 1-D spectrum only")
+    if not extract_ok(n, m, c):
+        raise ValueError(f"extract_rows_pallas: unsupported plan "
+                         f"n={n} m={m} c={c}")
+    xr = jnp.real(spectrum).astype(jnp.float32)
+    xi = jnp.imag(spectrum).astype(jnp.float32)
+    if a0 % m:
+        xr = jnp.concatenate([xr[a0:], xr[:a0]])
+        xi = jnp.concatenate([xi[a0:], xi[:a0]])
+        r0 = 0
+    else:
+        r0 = a0 // m
+    a1 = _split(m)
+    b1 = m // a1
+    xr3 = xr.reshape(n // m, a1, b1)
+    xi3 = xi.reshape(n // m, a1, b1)
+    yr, yi = _extract_call(xr3, xi3, c, m, n, r0, float(s_norm))
+    return jax.lax.complex(yr, yi).reshape(c, m)

@@ -7,18 +7,36 @@ the fused pipeline's two dominant costs. A length-2^18 c64 row is only
 2 MB, so the ENTIRE transform fits in VMEM: one HBM read + one HBM
 write (the literal roofline) with all butterfly passes on-chip.
 
-Formulation — recursive four-step with matmul butterflies:
-``L = A·B`` viewed as ``x[a·B + b]``;
+Formulation — three-digit Cooley–Tukey with 2-D-ONLY vector ops.
+Mosaic (the Pallas TPU compiler) rejects reshapes that merge a
+non-lane-aligned trailing dim ("infer-vector-layout: unsupported shape
+cast", hit on hardware r3) and general transposes, so the classic
+recursive four-step (reshape → swapaxes at every level) cannot lower.
+Instead ``m = A·B·C`` with ``C = 128`` lanes, ``B ≤ 32`` (1 when
+``m ≤ 2^14``), ``A ≤ 128``, and the row ``x[k]``, ``k = a·BC + b·C + c``
+is processed as a single (A, B·C) 2-D block:
 
-    X[p + A·q] = FFT_B over b of ( FFT_A over a of x  ·  W[p, b] ),
-    W[p, b] = exp(sign·2πi·p·b/L)
+* stage 1 (MXU): contract the *a* digit — a left matmul by the A×A DFT
+  matrix on each 128-aligned column chunk ``x[:, bC:(b+1)C]``, fused
+  with the level-1 twiddle ``W1[p, bC+c]`` (iota → cos/sin in-kernel);
+* stage 2 (VPU): contract the *b* digit — ``B ≤ 32``, so it unrolls to
+  scalar·tile multiply-adds with the B-point DFT coefficients baked as
+  Python-float constants (no matmul, no reshape), then the level-2
+  twiddle ``W2[q, c]``;
+* stage 3 (MXU): contract the *c* digit — ``dot_general`` with BOTH
+  contraction dims last (``D_C ∘ Uᵀ``), which lands the result tile
+  directly in (v, p) orientation;
+* output: tile (v, p) of sub-transform q stores to the 128-aligned
+  column slice ``out[:, qA:(q+1)A]`` of a (C, B·A) block — row-major
+  flat index ``v·BA + q·A + p`` IS the natural DFT order
+  ``t = p + A·q + AB·v``, so no reorder pass exists anywhere.
 
-* FFT over the *a*-axis is a LEFT-multiply by the A×A DFT matrix — an
-  MXU matmul, no transpose needed.
-* The recursion bottoms out at ``F ≤ 128``: a RIGHT-multiply by the
-  F×F DFT matrix (contraction = 128 lanes = full MXU).
-* Twiddles are computed in-kernel (broadcasted_iota → cos/sin): ``p·b``
-  < L ≤ 2^19 is exact in f32, so phase error is ~2πε independent of L
+Everything is 2-D: matmuls, iota, elementwise, and static 128-aligned
+column slices. No reshape of vector values, no transpose, no gather.
+
+* Twiddles are computed in-kernel (int32 broadcasted_iota → f32 →
+  cos/sin; Mosaic's ``tpu.iota`` is integer-only): ``p·(bC+c) < m ≤
+  2^19`` is exact in f32, so phase error is ~2πε independent of m
   (same argument as the planner's on-device twiddles, ops/fft.py).
 * Complex is planar f32 (Mosaic has no c64): 4 real matmuls per
   complex matmul at ``Precision.HIGHEST`` (the v5e MXU's DEFAULT
@@ -33,7 +51,8 @@ put the batched-FFT stages at the chip's memory speed of light
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
+import os
+from typing import Dict, List, Tuple
 
 import numpy as np
 import jax
@@ -46,25 +65,22 @@ from radiocore_tpu.runtime.platform import has_tpu
 LANES = 128
 MAX_ROW = 1 << 19       # VMEM budget: 2 planes × 2 MB in/out + temps
 MIN_ROW = 256
+MAX_GROUP = 8           # short-row batching unrolls the kernel body
 
 
-def _split(length: int) -> int:
-    """A for one four-step level; B = length // A recurses (leaf ≤ 128)."""
-    return LANES if length > LANES * LANES else length // LANES
+def _digits(m: int) -> Tuple[int, int, int]:
+    """m = A·B·C, C = 128 lanes, B the small VPU digit (1 if 2-level)."""
+    rest = m // LANES
+    if rest <= LANES:
+        return rest, 1, LANES
+    return LANES, rest // LANES, LANES
 
 
 def plan_sizes(length: int) -> List[int]:
-    """Distinct DFT-matrix sizes a length-``length`` row FFT needs."""
-    sizes = []
-    l = length
-    while l > LANES:
-        a = _split(l)
-        if a not in sizes:
-            sizes.append(a)
-        l //= a
-    if l not in sizes:
-        sizes.append(l)
-    return sizes
+    """Distinct DFT-matrix sizes a length-``length`` row FFT needs on
+    the MXU (the B digit is baked as scalars, not a matrix)."""
+    a, _b, c = _digits(length)
+    return [a] if a == c else [a, c]
 
 
 @functools.lru_cache(maxsize=64)
@@ -80,146 +96,156 @@ def _dft_planes(size: int, sign: float) -> Tuple[np.ndarray, np.ndarray]:
 # (Karatsuba: 25% fewer MXU FLOPs at the cost of one extra elementwise
 # add and mild cancellation error — worth it only if the hardware soak
 # shows the kernel compute-bound rather than HBM-bound).
-import os
 _CMUL = os.environ.get("RADIOCORE_TPU_FFT_CMUL", "4mm")
 
+# dot_general dimension numbers: LEFT = D @ X (contract D's cols with
+# X's rows); NT = D @ Xᵀ (contract the LAST dim of both — the stage-3
+# form whose result lands pre-transposed in (v, p) orientation).
+_DN_LEFT = ((1,), (0,))
+_DN_NT = ((1,), (1,))
 
-def _cmatmul(ar, ai, br, bi, contract_left: bool):
-    """Complex matmul from planar f32 planes on the MXU.
 
-    ``contract_left``: result = B @ X (B is the small DFT matrix, X has
-    shape (..., A, B) — contract X's axis -2). Otherwise X @ B
-    (contract X's axis -1). The DFT matrix is symmetric, so left/right
-    use the same planes.
-    """
+def _cmm(dr, di, xr, xi, dn):
+    """Complex 2-D matmul from planar f32 planes on the MXU."""
     hi = jax.lax.Precision.HIGHEST
 
-    def mm(m, x):
-        if contract_left:
-            # einsum('pa,...ab->...pb', m, x)
-            nbatch = x.ndim - 2
-            out = jax.lax.dot_general(
-                m, x, (((1,), (nbatch,)), ((), ())),
-                precision=hi, preferred_element_type=jnp.float32)
-            # dot_general puts m's free axis first: (p, ..., b) → (..., p, b)
-            return jnp.moveaxis(out, 0, -2) if nbatch else out
-        return jax.lax.dot_general(
-            x, m, (((x.ndim - 1,), (0,)), ((), ())),
-            precision=hi, preferred_element_type=jnp.float32)
+    def mm(a, b):
+        return jax.lax.dot_general(a, b, (dn, ((), ())), precision=hi,
+                                   preferred_element_type=jnp.float32)
 
     if _CMUL == "3mm":
-        # (br + i·bi)(ar + i·ai): m1 = br·ar, m2 = bi·ai,
-        # m3 = (br+bi)(ar+ai); yr = m1 − m2, yi = m3 − m1 − m2.
-        m1 = mm(br, ar)
-        m2 = mm(bi, ai)
-        m3 = mm(br + bi, ar + ai)
+        # (dr + i·di)(xr + i·xi): m1 = dr·xr, m2 = di·xi,
+        # m3 = (dr+di)(xr+xi); yr = m1 − m2, yi = m3 − m1 − m2.
+        m1 = mm(dr, xr)
+        m2 = mm(di, xi)
+        m3 = mm(dr + di, xr + xi)
         return m1 - m2, m3 - m1 - m2
-
-    if contract_left:
-        yr = mm(br, ar) - mm(bi, ai)
-        yi = mm(br, ai) + mm(bi, ar)
-    else:
-        yr = mm(br, ar) - mm(bi, ai)
-        yi = mm(bi, ar) + mm(br, ai)
-    return yr, yi
+    return mm(dr, xr) - mm(di, xi), mm(dr, xi) + mm(di, xr)
 
 
-def _twiddle(a: int, b: int, length: int, sign: float):
-    # Mosaic's tpu.iota only produces integers (hardware lowering rejects
-    # a float iota even though interpret mode accepts it) — generate i32
-    # and convert. p·q < L ≤ 2^19 stays exact in f32.
-    p = jax.lax.broadcasted_iota(jnp.int32, (a, b), 0).astype(jnp.float32)
-    q = jax.lax.broadcasted_iota(jnp.int32, (a, b), 1).astype(jnp.float32)
-    ang = jnp.float32(sign * 2.0 * np.pi / length) * (p * q)
-    return jnp.cos(ang), jnp.sin(ang)
+def _iota2(shape, dim):
+    """Integer 2-D iota → f32 (Mosaic's tpu.iota is integer-only)."""
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(
+        jnp.float32)
 
 
-def _fft_rows(xr, xi, dft, sign: float):
-    """Unnormalized DFT over the last axis (in-VMEM values, planar)."""
-    length = xr.shape[-1]
-    if length <= LANES:
-        dr, di = dft[length]
-        return _cmatmul(xr, xi, dr, di, contract_left=False)
-    a = _split(length)
-    b = length // a
-    lead = xr.shape[:-1]
-    vr = xr.reshape(lead + (a, b))
-    vi = xi.reshape(lead + (a, b))
-    dr, di = dft[a]
-    gr, gi = _cmatmul(vr, vi, dr, di, contract_left=True)
-    wr, wi = _twiddle(a, b, length, sign)
-    tr = gr * wr - gi * wi
-    ti = gr * wi + gi * wr
-    rr, ri = _fft_rows(tr, ti, dft, sign)        # over last axis (b)
-    rr = jnp.swapaxes(rr, -1, -2).reshape(lead + (length,))
-    ri = jnp.swapaxes(ri, -1, -2).reshape(lead + (length,))
-    return rr, ri
+def _dft_row_2d(xr, xi, dft: Dict[int, Tuple], sign: float, m: int,
+                pre=None) -> List[Tuple]:
+    """One row's DFT with 2-D-only ops.
+
+    ``xr/xi``: (A, B·C) planar f32 planes of the row (k = a·BC + b·C + c
+    row-major). ``dft``: in-VMEM (real, imag) DFT matrices for sizes A
+    and C. ``pre(cr, ci, b)``: optional elementwise preprocess of column
+    chunk b (the fused-extraction window hook).
+
+    Returns ``[(vr_q, vi_q)] * B`` — per-q (C, A) tiles in (v, p)
+    orientation; tile q belongs at output columns ``[qA, (q+1)A)`` of
+    the (C, B·A) natural-order block.
+    """
+    a_n, b_n, c_n = _digits(m)
+    dra, dia = dft[a_n]
+    drc, dic = dft[c_n]
+    s2pi = sign * 2.0 * np.pi
+
+    # Stage 1 + W1, per 128-aligned column chunk.
+    tb: List[Tuple] = []
+    pp = _iota2((a_n, c_n), 0)
+    cc = _iota2((a_n, c_n), 1)
+    for b in range(b_n):
+        cr = xr[:, b * c_n:(b + 1) * c_n]
+        ci = xi[:, b * c_n:(b + 1) * c_n]
+        if pre is not None:
+            cr, ci = pre(cr, ci, b)
+        gr, gi = _cmm(dra, dia, cr, ci, _DN_LEFT)
+        ang = jnp.float32(s2pi / m) * (pp * (cc + jnp.float32(b * c_n)))
+        wr, wi = jnp.cos(ang), jnp.sin(ang)
+        tb.append((gr * wr - gi * wi, gr * wi + gi * wr))
+
+    if b_n == 1:
+        return [_cmm(drc, dic, tb[0][0], tb[0][1], _DN_NT)]
+
+    # Stage 2 (VPU, coefficients baked as scalars) + W2 + stage 3.
+    dbr, dbi = _dft_planes(b_n, sign)
+    out: List[Tuple] = []
+    for q in range(b_n):
+        ur = None
+        ui = None
+        for b in range(b_n):
+            r, i2 = tb[b]
+            c1 = float(dbr[q, b])
+            c2 = float(dbi[q, b])
+            tr = c1 * r - c2 * i2
+            ti = c1 * i2 + c2 * r
+            ur = tr if ur is None else ur + tr
+            ui = ti if ui is None else ui + ti
+        if q:
+            ang = jnp.float32(s2pi * q / (b_n * c_n)) * cc
+            w2r, w2i = jnp.cos(ang), jnp.sin(ang)
+            ur, ui = ur * w2r - ui * w2i, ur * w2i + ui * w2r
+        out.append(_cmm(drc, dic, ur, ui, _DN_NT))
+    return out
 
 
-def _fft_kernel(*refs, sizes, sign, a1, b1):
+def _row_flops(m: int) -> int:
+    a_n, b_n, c_n = _digits(m)
+    return 8 * m * (a_n + b_n + c_n)
+
+
+def _fft_kernel(*refs, sizes, sign, m, group):
     xr_ref, xi_ref = refs[0], refs[1]
     dft = {}
     for k, s in enumerate(sizes):
         dft[s] = (refs[2 + 2 * k][...], refs[3 + 2 * k][...])
     or_ref, oi_ref = refs[-2], refs[-1]
-    xr = xr_ref[...]                              # (g, a1, b1)
-    xi = xi_ref[...]
-    length = a1 * b1
-    dr, di = dft[a1]
-    gr, gi = _cmatmul(xr, xi, dr, di, contract_left=True)
-    wr, wi = _twiddle(a1, b1, length, sign)
-    tr = gr * wr - gi * wi
-    ti = gr * wi + gi * wr
-    rr, ri = _fft_rows(tr, ti, dft, sign)        # (g, a1, b1), FFT over b1
-    or_ref[...] = jnp.swapaxes(rr, -1, -2)       # (g, b1, a1): k = p + a1·q
-    oi_ref[...] = jnp.swapaxes(ri, -1, -2)
+    a_n, _b_n, _c_n = _digits(m)
+    for j in range(group):
+        tiles = _dft_row_2d(xr_ref[j], xi_ref[j], dft, sign, m)
+        for q, (vr, vi) in enumerate(tiles):
+            or_ref[j, :, q * a_n:(q + 1) * a_n] = vr
+            oi_ref[j, :, q * a_n:(q + 1) * a_n] = vi
 
 
 @functools.partial(jax.jit, static_argnames=("sign", "group"))
 def _fft_call(xr: jnp.ndarray, xi: jnp.ndarray, sign: float, group: int):
-    """xr/xi: (batch, A1, B1) f32 → (batch, B1, A1) planar DFT rows.
+    """xr/xi: (batch, A, B·C) f32 → (batch, C, B·A) planar DFT rows
+    whose row-major flat order is the natural DFT order.
 
     ``group`` rows are processed per grid step (the wrapper targets
-    ~2^18 elements of work per step and pads the batch to a multiple)
-    so short transforms stay pipelined instead of dispatch-bound.
+    ~2^18 elements of work per step, capped at MAX_GROUP — the row
+    body is unrolled per group member) so short transforms stay
+    pipelined instead of dispatch-bound.
     """
-    batch, a1, b1 = xr.shape
-    length = a1 * b1
+    batch, a_n, bc = xr.shape
+    length = a_n * bc
+    _, b_n, c_n = _digits(length)
     sizes = tuple(plan_sizes(length))
     consts = []
     for s in sizes:
         dr, di = _dft_planes(s, sign)
         consts.extend([jnp.asarray(dr), jnp.asarray(di)])
 
-    # FLOPs: 4 real matmuls per level; level contraction sizes = plan.
-    contractions = []
-    l = length
-    while l > LANES:
-        a = _split(l)
-        contractions.append(a)
-        l //= a
-    contractions.append(l)
-    flops = sum(8 * length * c for c in contractions) * batch
+    flops = _row_flops(length) * batch
     bytes_acc = 4 * (4 * batch * length + sum(2 * s * s for s in sizes))
-    trans = 2 * batch * length * max(len(contractions) - 1, 0)
+    trans = 2 * batch * length * (1 if b_n == 1 else 2)
 
     const_specs = [
         pl.BlockSpec(c.shape, functools.partial(lambda nd, *_: (0,) * nd,
                                                 c.ndim),
                      memory_space=pltpu.VMEM) for c in consts
     ]
-    row_spec = pl.BlockSpec((group, a1, b1), lambda i: (i, 0, 0),
+    row_spec = pl.BlockSpec((group, a_n, bc), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((group, b1, a1), lambda i: (i, 0, 0),
+    out_spec = pl.BlockSpec((group, c_n, b_n * a_n), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_fft_kernel, sizes=sizes, sign=sign,
-                          a1=a1, b1=b1),
+                          m=length, group=group),
         grid=(batch // group,),
         in_specs=[row_spec, row_spec] + const_specs,
         out_specs=[out_spec, out_spec],
-        out_shape=[jax.ShapeDtypeStruct((batch, b1, a1), jnp.float32),
-                   jax.ShapeDtypeStruct((batch, b1, a1), jnp.float32)],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, c_n, b_n * a_n), jnp.float32),
+            jax.ShapeDtypeStruct((batch, c_n, b_n * a_n), jnp.float32)],
         cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=bytes_acc,
                                       transcendentals=trans),
         interpret=not has_tpu(),
@@ -231,8 +257,8 @@ def _check_row(length: int) -> Tuple[int, int]:
         raise ValueError(
             f"fft_pow2_pallas: row length {length} unsupported "
             f"(pow2 in [{MIN_ROW}, {MAX_ROW}])")
-    a1 = _split(length)
-    return a1, length // a1
+    a_n, b_n, c_n = _digits(length)
+    return a_n, b_n * c_n
 
 
 def fft_pow2_pallas_planar(xr: jnp.ndarray, xi: jnp.ndarray,
@@ -248,11 +274,12 @@ def fft_pow2_pallas_planar(xr: jnp.ndarray, xi: jnp.ndarray,
     xr3 = xr.reshape((-1, a1, b1)).astype(jnp.float32)
     xi3 = xi.reshape((-1, a1, b1)).astype(jnp.float32)
     batch = xr3.shape[0]
-    # Group short rows (~2^18 elements of work per grid step) so small
-    # transforms stay pipelined instead of dispatch-bound. The group is
-    # the largest DIVISOR of the batch at or under the target — padding
+    # Group short rows (~2^18 elements of work per grid step, capped:
+    # the kernel body unrolls per group member) so small transforms
+    # stay pipelined instead of dispatch-bound. The group is the
+    # largest DIVISOR of the batch at or under the target — padding
     # would cost a full extra HBM pass.
-    target = min(max((1 << 18) // length, 1), batch)
+    target = min(max((1 << 18) // length, 1), batch, MAX_GROUP)
     group = next(g for g in range(target, 0, -1) if batch % g == 0)
     yr, yi = _fft_call(xr3, xi3, float(sign), group)
     return (yr.reshape(lead + (length,)), yi.reshape(lead + (length,)))
@@ -349,8 +376,8 @@ def fft_large_pow2_pallas(x: jnp.ndarray, sign: float = -1.0,
     # Planar XLA-level column FFT (4 real MXU matmuls at HIGHEST — a
     # complex dot would work too, but the explicit form avoids any
     # exotic complex-dot lowering on the relay backend).
-    gr, gi = _cmatmul(jnp.real(v), jnp.imag(v), jnp.asarray(dr),
-                      jnp.asarray(di), contract_left=True)
+    gr, gi = _cmm_nd(jnp.asarray(dr), jnp.asarray(di),
+                     jnp.real(v), jnp.imag(v))
     p = jax.lax.broadcasted_iota(jnp.float32, (a, b), 0)
     q = jax.lax.broadcasted_iota(jnp.float32, (a, b), 1)
     ang = jnp.float32(sign * 2.0 * np.pi / n) * (p * q)
@@ -360,3 +387,17 @@ def fft_large_pow2_pallas(x: jnp.ndarray, sign: float = -1.0,
     rr, ri = fft_pow2_pallas_planar(tr, ti, sign)
     r = jax.lax.complex(rr, ri)                   # (..., a, b), rows done
     return jnp.swapaxes(r, -1, -2).reshape(lead + (n,))
+
+
+def _cmm_nd(dr, di, xr, xi):
+    """XLA-level complex contraction of x's axis -2 (leading dims OK)."""
+    hi = jax.lax.Precision.HIGHEST
+
+    def mm(m, x):
+        nbatch = x.ndim - 2
+        out = jax.lax.dot_general(m, x, (((1,), (nbatch,)), ((), ())),
+                                  precision=hi,
+                                  preferred_element_type=jnp.float32)
+        return jnp.moveaxis(out, 0, -2) if nbatch else out
+
+    return mm(dr, xr) - mm(di, xi), mm(dr, xi) + mm(di, xr)

@@ -76,7 +76,9 @@ def make_extractor(n: int, shifts: Tuple[int, ...],
     # Batched per-channel IFFT lowering: 'native' (one custom-call pass
     # over the m axis), 'fourstep' (two batched small native FFTs +
     # fused twiddle — ops.fft.ifft_decomposed), 'pallas' (whole-row
-    # VMEM kernel, kernels/fft_pallas.py — one HBM read+write), or
+    # VMEM kernel, kernels/fft_pallas.py — one HBM read+write),
+    # 'fused' (slice+window+Nyquist-fix+IFFT in ONE kernel pass,
+    # kernels/extract_pallas.py — skips the XLA reorder entirely), or
     # 'auto'. The env knob exists for hardware A/B
     # (benchmarks/extract_profile.py).
     import os
@@ -106,8 +108,19 @@ def make_extractor(n: int, shifts: Tuple[int, ...],
             return _fft.ifft_decomposed(y_all / s_fac)
         return _fft.ifft(y_all / s_fac)
 
+    def _fused_ok(spectrum: jnp.ndarray) -> bool:
+        if _impl != "fused" or m % 2 or spectrum.ndim != 1:
+            return False
+        from radiocore_tpu.kernels.extract_pallas import extract_ok
+        return extract_ok(n, m, c)
+
     def extract_uniform(spectrum: jnp.ndarray) -> jnp.ndarray:
         a0 = starts[0]
+        if _fused_ok(spectrum):
+            from radiocore_tpu.kernels.extract_pallas import \
+                extract_rows_pallas
+            return extract_rows_pallas(spectrum, a0, c, m,
+                                       1.0 / (s_fac * m))
         need = c * m + 1
         base = jnp.concatenate(
             [spectrum[..., a0:], spectrum[..., :a0],

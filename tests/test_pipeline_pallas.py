@@ -12,9 +12,9 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture
-def pallas_extract_env(monkeypatch):
-    monkeypatch.setenv("RADIOCORE_TPU_EXTRACT_IFFT", "pallas")
+@pytest.fixture(params=["pallas", "fused"])
+def pallas_extract_env(request, monkeypatch):
+    monkeypatch.setenv("RADIOCORE_TPU_EXTRACT_IFFT", request.param)
     # make_extractor reads the env at build time and is lru_cached —
     # clear so the knob takes effect and leaks to no other test.
     from radiocore_tpu.ops import channelize
