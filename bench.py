@@ -59,13 +59,8 @@ def main() -> None:
 
     # Persistent compiled-program cache: remote TPU compiles in this
     # environment can take minutes, and repeat bench runs are identical.
-    try:
-        cache_dir = os.path.expanduser("~/.cache/radiocore_tpu/jaxcache")
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    from radiocore_tpu.runtime.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     import jax.numpy as jnp
     from radiocore_tpu.parallel.pipeline import make_multi_station_step

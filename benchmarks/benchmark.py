@@ -100,6 +100,8 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     import jax
+    from radiocore_tpu.runtime.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     results = {"platform": jax.devices()[0].device_kind}
     if args.only in (None, "demods"):
         bench_demods(results, args.iters)

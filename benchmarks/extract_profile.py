@@ -38,6 +38,8 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     import jax
+    from radiocore_tpu.runtime.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
     from radiocore_tpu.ops.channelize import extraction_plan, make_extractor
     from radiocore_tpu.runtime.transfer import to_host
@@ -77,19 +79,25 @@ def main(argv=None) -> None:
     from radiocore_tpu.ops import fft as _fft
     extract_full = make_extractor(n, shifts, m)
 
-    from radiocore_tpu.kernels.fft_pallas import fft_pow2_pallas
+    # Kernel imports are DEFERRED into the variant bodies: an
+    # unavailable kernel must only drop its own variant, not kill the
+    # whole profile (r3 lesson — a kernel ImportError took out the
+    # previously-working reorder/native/fourstep/full rows too).
+    def _pallas_variant(s):
+        from radiocore_tpu.kernels.fft_pallas import fft_pow2_pallas
+        return fft_pow2_pallas(reorder_only(s) / (s_fac * m), sign=+1.0)
 
-    from radiocore_tpu.kernels.extract_pallas import extract_rows_pallas
+    def _fused_variant(s):
+        # Slice+window+fix+IFFT in ONE kernel pass (no XLA reorder).
+        from radiocore_tpu.kernels.extract_pallas import extract_rows_pallas
+        return extract_rows_pallas(s, a0, c, m, 1.0 / (s_fac * m))
 
     variants = {
         "reorder": lambda s: reorder_only(s),
         "native": lambda s: jnp.fft.ifft(reorder_only(s) / s_fac),
         "fourstep": lambda s: _fft.ifft_decomposed(reorder_only(s) / s_fac),
-        "pallas": lambda s: fft_pow2_pallas(
-            reorder_only(s) / (s_fac * m), sign=+1.0),
-        # Slice+window+fix+IFFT in ONE kernel pass (no XLA reorder).
-        "fused": lambda s: extract_rows_pallas(s, a0, c, m,
-                                               1.0 / (s_fac * m)),
+        "pallas": _pallas_variant,
+        "fused": _fused_variant,
         "full": lambda s: extract_full(s),
     }
 

@@ -39,6 +39,8 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     import jax
+    from radiocore_tpu.runtime.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
     from radiocore_tpu.ops import fft as _fft
     from radiocore_tpu.kernels import fft_pallas as _fp

@@ -28,6 +28,8 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     import jax
+    from radiocore_tpu.runtime.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
     from radiocore_tpu.ops import fft as _fft
 

@@ -44,6 +44,8 @@ def main(argv=None) -> int:
 
     import numpy as np
     import jax
+    from radiocore_tpu.runtime.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
     from scipy import signal as sig
 
@@ -228,6 +230,8 @@ def _fft_soak(args) -> int:
     """Correctness (vs the native XLA FFT, on device) + device-loop
     throughput for the Pallas whole-row FFT kernel."""
     import jax
+    from radiocore_tpu.runtime.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
     from radiocore_tpu.kernels import fft_pallas as _fp
 

@@ -114,6 +114,8 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     import jax
+    from radiocore_tpu.runtime.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     from radiocore_tpu.parallel.mesh import make_radio_mesh
 
     n_dev = len(jax.devices())

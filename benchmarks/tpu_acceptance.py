@@ -38,6 +38,8 @@ def main(argv=None) -> int:
     configs = {int(c) for c in args.configs.split(",")}
 
     import jax
+    from radiocore_tpu.runtime.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
     from radiocore_tpu.ops import synth
 

@@ -36,6 +36,8 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     import jax
+    from radiocore_tpu.runtime.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
     from scipy import signal as sig
     from radiocore_tpu.ops.pfb import pfb_taps, pfb_init, pfb_channelize

@@ -32,14 +32,18 @@ The reorder disappears into math (derivation checked against
   row's first element — fetched by aliasing the same spectrum operand
   with a +1-row index map (zero extra traffic).
 
-The transform body (four-step DFT-matrix butterflies on the MXU at
-``Precision.HIGHEST``) is shared with :mod:`fft_pallas`.
+The transform body is :func:`fft_pallas._dft_row_2d` — the three-digit
+2-D-only Cooley–Tukey (MXU matmuls at ``Precision.HIGHEST``) shared
+with the whole-row FFT kernel; its ``pre`` hook applies the window to
+each 128-aligned column chunk before the stage-1 contraction, and its
+(C, B·A) natural-order output tiles make the roll flip a per-column
+``(−1)^p`` sign over each (v, p) tile (A is an even power of two, so
+``t = v·BA + q·A + p`` has the parity of ``p``).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import numpy as np
 import jax
@@ -49,61 +53,61 @@ from jax.experimental.pallas import tpu as pltpu
 
 from radiocore_tpu.runtime.platform import has_tpu
 from radiocore_tpu.kernels.fft_pallas import (
-    MAX_ROW, MIN_ROW, _dft_planes, _cmatmul, _fft_rows, _split, _twiddle,
-    plan_sizes,
+    MAX_ROW, MIN_ROW, _dft_planes, _dft_row_2d, _digits, _iota2,
+    _row_flops, plan_sizes,
 )
 
 
-def _extract_kernel(*refs, sizes, a1, b1, m, inv_n, s_norm):
+def _extract_kernel(*refs, sizes, m, inv_n, s_norm):
     xr_ref, xi_ref, nxr_ref, nxi_ref = refs[:4]
     dft = {}
     for k, s in enumerate(sizes):
         dft[s] = (refs[4 + 2 * k][...], refs[5 + 2 * k][...])
     or_ref, oi_ref = refs[-2], refs[-1]
+    a_n, b_n, c_n = _digits(m)
 
-    xr = xr_ref[...]                                  # (1, a1, b1)
-    xi = xi_ref[...]
-
-    # Window in raw coordinates, generated from iota (exact ≤ 2^19 in
-    # f32): w[k] = ½·s_norm·(1 + cos(2π(k − m/2)/n)), k = ia·b1 + ib.
-    ia = jax.lax.broadcasted_iota(jnp.int32, (a1, b1), 0)
-    ib = jax.lax.broadcasted_iota(jnp.int32, (a1, b1), 1)
-    k = (ia * b1 + ib).astype(jnp.float32)
+    # Raw-coordinate flat index of chunk-b element (ia, ic) is
+    # k = ia·(B·C) + b·C + ic; the window is the closed form
+    # w[k] = ½·s_norm·(1 + cos(2π(k − m/2)/n)) — exact in f32 for
+    # k < m ≤ 2^19.
+    kk = _iota2((a_n, c_n), 0) * jnp.float32(b_n * c_n) \
+        + _iota2((a_n, c_n), 1)
     half = jnp.float32(0.5 * s_norm)
-    ang = jnp.float32(2.0 * np.pi * inv_n) * (k - jnp.float32(m // 2))
-    w = (half * (1.0 + jnp.cos(ang)))[None]           # (1, a1, b1)
-
-    ur = xr * w
-    ui = xi * w
-    # Nyquist fold: u[0] = (x[0] + nxt)·w[0]; x[0]·w[0] is already in.
+    rad = jnp.float32(2.0 * np.pi * inv_n)
+    # Nyquist fold weight w[0] = ½·s_norm·(1 + cos(πm/n)).
     w0 = jnp.float32(0.5 * s_norm * (1.0 + np.cos(np.pi * m * inv_n)))
-    at0 = ((ia == 0) & (ib == 0))[None]
-    ur = ur + jnp.where(at0, nxr_ref[0, 0, 0] * w0, 0.0)
-    ui = ui + jnp.where(at0, nxi_ref[0, 0, 0] * w0, 0.0)
+    ia = jax.lax.broadcasted_iota(jnp.int32, (a_n, c_n), 0)
+    ic = jax.lax.broadcasted_iota(jnp.int32, (a_n, c_n), 1)
+    at0 = (ia == 0) & (ic == 0)
 
-    # Backward four-step transform (sign = +1), same body as fft_pallas.
-    dr, di = dft[a1]
-    gr, gi = _cmatmul(ur, ui, dr, di, contract_left=True)
-    wr, wi = _twiddle(a1, b1, m, +1.0)
-    tr = gr * wr - gi * wi
-    ti = gr * wi + gi * wr
-    rr, ri = _fft_rows(tr, ti, dft, +1.0)             # (1, a1, b1)
+    def pre(cr, ci, b):
+        ang = rad * (kk + jnp.float32(b * c_n - m // 2))
+        w = half * (1.0 + jnp.cos(ang))
+        ur = cr * w
+        ui = ci * w
+        if b == 0:
+            # u[0] = (x[0] + nxt)·w[0]; x[0]·w[0] is already in.
+            ur = ur + jnp.where(at0, nxr_ref[0, 0, 0] * w0, 0.0)
+            ui = ui + jnp.where(at0, nxi_ref[0, 0, 0] * w0, 0.0)
+        return ur, ui
+
+    tiles = _dft_row_2d(xr_ref[0], xi_ref[0], dft, +1.0, m, pre=pre)
 
     # y[j] = u[(j + m/2) mod m] ⇒ out[t] = (−1)^t·IDFT(u)[t]; output
-    # order is t = q·a1 + p with a1 even, so (−1)^t = (−1)^p — a sign
-    # flip over the LAST axis of the (1, b1, a1) output block.
-    p = jax.lax.broadcasted_iota(jnp.int32, (b1, a1), 1)
-    flip = (1 - 2 * (p & 1)).astype(jnp.float32)[None]
-    or_ref[...] = jnp.swapaxes(rr, -1, -2) * flip
-    oi_ref[...] = jnp.swapaxes(ri, -1, -2) * flip
+    # flat order is t = v·BA + q·A + p with A even, so (−1)^t = (−1)^p —
+    # a per-column sign flip over the LAST axis of each (v, p) tile.
+    p = jax.lax.broadcasted_iota(jnp.int32, (c_n, a_n), 1)
+    flip = (1 - 2 * (p & 1)).astype(jnp.float32)
+    for q, (vr, vi) in enumerate(tiles):
+        or_ref[0, :, q * a_n:(q + 1) * a_n] = vr * flip
+        oi_ref[0, :, q * a_n:(q + 1) * a_n] = vi * flip
 
 
 @functools.partial(jax.jit,
                    static_argnames=("c", "m", "n", "r0", "s_norm"))
 def _extract_call(xr3, xi3, c: int, m: int, n: int, r0: int,
                   s_norm: float):
-    a1 = _split(m)
-    b1 = m // a1
+    a_n, b_n, c_n = _digits(m)
     c2 = n // m                                        # rows in the view
     sizes = tuple(plan_sizes(m))
     consts = []
@@ -111,18 +115,12 @@ def _extract_call(xr3, xi3, c: int, m: int, n: int, r0: int,
         dr, di = _dft_planes(s, +1.0)
         consts.extend([jnp.asarray(dr), jnp.asarray(di)])
 
-    contractions = []
-    l = m
-    while l > 128:
-        a = _split(l)
-        contractions.append(a)
-        l //= a
-    contractions.append(l)
-    flops = sum(8 * m * cs for cs in contractions) * c
+    flops = _row_flops(m) * c
     bytes_acc = 4 * (2 * (c + c) * m + sum(2 * s * s for s in sizes))
-    trans = c * m * (2 * max(len(contractions) - 1, 0) + 1)
+    trans = c * m * (1 if b_n == 1 else 2) * 2
 
-    row = pl.BlockSpec((1, a1, b1), lambda i: ((i + r0) % c2, 0, 0),
+    row = pl.BlockSpec((1, a_n, b_n * c_n),
+                       lambda i: ((i + r0) % c2, 0, 0),
                        memory_space=pltpu.VMEM)
     nxt = pl.BlockSpec((1, 1, 1), lambda i: ((i + r0 + 1) % c2, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -131,16 +129,16 @@ def _extract_call(xr3, xi3, c: int, m: int, n: int, r0: int,
             lambda nd, *_: (0,) * nd, cst.ndim), memory_space=pltpu.VMEM)
         for cst in consts
     ]
-    out = pl.BlockSpec((1, b1, a1), lambda i: (i, 0, 0),
+    out = pl.BlockSpec((1, c_n, b_n * a_n), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_extract_kernel, sizes=sizes, a1=a1, b1=b1,
-                          m=m, inv_n=1.0 / n, s_norm=s_norm),
+        functools.partial(_extract_kernel, sizes=sizes, m=m,
+                          inv_n=1.0 / n, s_norm=s_norm),
         grid=(c,),
         in_specs=[row, row, nxt, nxt] + const_specs,
         out_specs=[out, out],
-        out_shape=[jax.ShapeDtypeStruct((c, b1, a1), jnp.float32),
-                   jax.ShapeDtypeStruct((c, b1, a1), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((c, c_n, b_n * a_n), jnp.float32),
+                   jax.ShapeDtypeStruct((c, c_n, b_n * a_n), jnp.float32)],
         cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=bytes_acc,
                                       transcendentals=trans),
         interpret=not has_tpu(),
@@ -180,9 +178,8 @@ def extract_rows_pallas(spectrum: jnp.ndarray, a0: int, c: int, m: int,
         r0 = 0
     else:
         r0 = a0 // m
-    a1 = _split(m)
-    b1 = m // a1
-    xr3 = xr.reshape(n // m, a1, b1)
-    xi3 = xi.reshape(n // m, a1, b1)
+    a_n, b_n, c_n = _digits(m)
+    xr3 = xr.reshape(n // m, a_n, b_n * c_n)
+    xi3 = xi.reshape(n // m, a_n, b_n * c_n)
     yr, yi = _extract_call(xr3, xi3, c, m, n, r0, float(s_norm))
     return jax.lax.complex(yr, yi).reshape(c, m)

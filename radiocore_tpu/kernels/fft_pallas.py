@@ -337,6 +337,10 @@ def irfft_pow2_pallas(X: jnp.ndarray, n: int) -> jnp.ndarray:
         raise ValueError(f"irfft_pow2_pallas: expected {h + 1} bins, "
                          f"got {X.shape[-1]}")
     X = X.astype(jnp.complex64)
+    # Discard imag of the DC and Nyquist bins (np.fft.irfft / planner
+    # semantics): round-off there must not leak into the real output.
+    edge = jnp.zeros((h + 1,), jnp.float32).at[0].set(1.0).at[h].set(1.0)
+    X = X - 1j * (edge * jnp.imag(X))
     xrev = jnp.conj(X[..., ::-1])
     ze = 0.5 * (X + xrev)
     zo = 0.5 * (X - xrev) * jnp.asarray(_half_twiddle(n, +1.0))
