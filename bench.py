@@ -244,6 +244,13 @@ def main() -> None:
         "epoch_ms": [round(d * 1e3, 2) for d in epoch_means],
         "protocol": "fresh-band+chained-state, min of epochs",
         "stage_profile_ms": stage_profile,
+        # The stage profile times each stage as its OWN jitted program
+        # (jit boundaries pin layouts and forbid cross-stage fusion), so
+        # the stage sum exceeds the fused step and individual stages can
+        # drift with relay load while the fused headline holds (r3:
+        # demod 8→12.6 ms in the profile, fused step flat). Use it to
+        # RANK stages, not to account for the fused step's time.
+        "stage_protocol": "per-stage jits; sum != fused step",
     }
     if suspect:
         result["suspect"] = True

@@ -1,0 +1,186 @@
+"""Compile-only smoke stage for the TPU queue head (no fetches).
+
+For each kernel/pipeline variant the queue will exercise, AOT-compile
+the jitted program on the active backend and report per-variant
+ok/seconds — a Mosaic lowering bug (like r3's f32 ``tpu.iota``) then
+costs ~a minute at queue head instead of a whole benchmark wave. As a
+side effect, every compile lands in the persistent cache, so the real
+benchmark runs start warm.
+
+    python benchmarks/smoke_compile.py [--only a,b] [--stations 64]
+
+Prints one JSON line per variant; exit code = number of failures.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--stations", type=int, default=64)
+    parser.add_argument("--station-chunk", type=int, default=262_144)
+    parser.add_argument("--only", default=None,
+                        help="comma-separated subset of variant names")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (script self-test; "
+                             "env vars alone can't override sitecustomize)")
+    args = parser.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from radiocore_tpu.runtime.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+    import jax.numpy as jnp
+
+    c = args.stations
+    m = args.station_chunk
+    n = c * m
+    half = n // 2 - m // 2
+    offsets = [int(-half + i * m) for i in range(c)]
+
+    print(json.dumps({"backend": str(jax.devices()[0]),
+                      "stage": "smoke-compile"}), flush=True)
+
+    def build_pipeline(env: dict):
+        """(Re)build the fused step under the given env knobs."""
+        import os
+        from radiocore_tpu.ops import channelize
+        from radiocore_tpu.parallel.pipeline import make_multi_station_step
+        saved = {}
+        keys = ("RADIOCORE_TPU_EXTRACT_IFFT", "RADIOCORE_TPU_FFT_PALLAS_MIN",
+                "RADIOCORE_TPU_FIR_IMPL")
+        for k in keys:
+            saved[k] = os.environ.pop(k, None)
+        os.environ.update(env)
+        channelize.make_extractor.cache_clear()
+        try:
+            step, state0 = make_multi_station_step(
+                n, offsets, m, m * 3 // 16, mode="fast")
+            return step, state0
+        finally:
+            for k in keys:
+                os.environ.pop(k, None)
+                if saved[k] is not None:
+                    os.environ[k] = saved[k]
+            channelize.make_extractor.cache_clear()
+
+    def compile_pipeline(env):
+        step, state0 = build_pipeline(env)
+        band = jax.ShapeDtypeStruct((n,), jnp.complex64)
+        st = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state0)
+        jax.jit(step).lower(band, st).compile()
+
+    def compile_fft_kernel():
+        from radiocore_tpu.kernels.fft_pallas import fft_pow2_pallas_planar
+        x = jax.ShapeDtypeStruct((c, m), jnp.float32)
+
+        def f(xr, xi):
+            return fft_pow2_pallas_planar(xr, xi, +1.0)
+        jax.jit(f).lower(x, x).compile()
+
+    def compile_fft_kernel_grouped():
+        # Short rows → grouped grid steps (incl. the pad path).
+        from radiocore_tpu.kernels.fft_pallas import fft_pow2_pallas_planar
+        x = jax.ShapeDtypeStruct((61, 8192), jnp.float32)
+
+        def f(xr, xi):
+            return fft_pow2_pallas_planar(xr, xi, -1.0)
+        jax.jit(f).lower(x, x).compile()
+
+    def compile_fused_extract():
+        from radiocore_tpu.kernels.extract_pallas import extract_rows_pallas
+        spec = jax.ShapeDtypeStruct((n,), jnp.complex64)
+        a0 = (half + n // 2) % n  # m-aligned for the uniform plan
+
+        def f(s):
+            return extract_rows_pallas(s, (n - half) % n, c, m,
+                                       1.0 / ((n / m) * m))
+        jax.jit(f).lower(spec).compile()
+
+    def compile_fir_kernel():
+        from radiocore_tpu.kernels.fir_pallas import fir_causal_pallas
+        import numpy as np
+        x = jax.ShapeDtypeStruct((1 << 22,), jnp.float32)
+        taps = np.hanning(129).astype(np.float32)
+
+        def f(v):
+            return fir_causal_pallas(v, taps)
+        jax.jit(f).lower(x).compile()
+
+    def compile_wideband(chz):
+        import numpy as np
+        from scipy import signal as sig
+        from radiocore_tpu.ops.pfb import pfb_taps, pfb_init, pfb_channelize
+        from radiocore_tpu.ops.fir import fir_overlap_save
+        from radiocore_tpu.ops import fft as _fft
+        from radiocore_tpu.ops.channelize import make_extractor
+        mm = 64
+        nn = 8_388_608
+        taps = pfb_taps(mm, 8)
+        fir = sig.firwin(129, 0.45)
+        if chz == "pfb":
+            hist0 = pfb_init(mm, 8)
+
+            def stp(band, h):
+                band = fir_overlap_save(band, fir)
+                return pfb_channelize(band, taps, mm, history=h)
+        else:
+            chunk = nn // mm
+            grid = [((k * chunk + nn // 2) % nn) - nn // 2
+                    for k in range(mm)]
+            extract = make_extractor(nn, tuple(-g for g in grid), chunk)
+            hist0 = pfb_init(mm, 8)
+
+            def stp(band, h):
+                band = fir_overlap_save(band, fir)
+                ch = extract(_fft.fft(band))
+                return jnp.swapaxes(ch, -1, -2), h
+        band = jax.ShapeDtypeStruct((nn,), jnp.complex64)
+        h = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), hist0)
+        jax.jit(stp).lower(band, h).compile()
+
+    variants = {
+        "fft_kernel": compile_fft_kernel,
+        "fft_kernel_grouped": compile_fft_kernel_grouped,
+        "fused_extract": compile_fused_extract,
+        "fir_kernel": compile_fir_kernel,
+        "pipeline_default": lambda: compile_pipeline({}),
+        "pipeline_fused": lambda: compile_pipeline(
+            {"RADIOCORE_TPU_EXTRACT_IFFT": "fused"}),
+        "pipeline_all_pallas": lambda: compile_pipeline(
+            {"RADIOCORE_TPU_EXTRACT_IFFT": "fused",
+             "RADIOCORE_TPU_FFT_PALLAS_MIN": "65536"}),
+        "wideband_fft": lambda: compile_wideband("fft"),
+        "wideband_pfb": lambda: compile_wideband("pfb"),
+    }
+    if args.only:
+        keep = set(args.only.split(","))
+        variants = {k: v for k, v in variants.items() if k in keep}
+
+    fails = 0
+    for name, fn in variants.items():
+        t0 = time.perf_counter()
+        try:
+            fn()
+            print(json.dumps({"variant": name, "ok": True,
+                              "s": round(time.perf_counter() - t0, 1)}),
+                  flush=True)
+        except Exception as e:
+            fails += 1
+            print(json.dumps({"variant": name, "ok": False,
+                              "s": round(time.perf_counter() - t0, 1),
+                              "err": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+    return fails
+
+
+if __name__ == "__main__":
+    sys.exit(main())

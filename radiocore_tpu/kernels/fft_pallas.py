@@ -276,12 +276,20 @@ def fft_pow2_pallas_planar(xr: jnp.ndarray, xi: jnp.ndarray,
     batch = xr3.shape[0]
     # Group short rows (~2^18 elements of work per grid step, capped:
     # the kernel body unrolls per group member) so small transforms
-    # stay pipelined instead of dispatch-bound. The group is the
-    # largest DIVISOR of the batch at or under the target — padding
-    # would cost a full extra HBM pass.
-    target = min(max((1 << 18) // length, 1), batch, MAX_GROUP)
-    group = next(g for g in range(target, 0, -1) if batch % g == 0)
+    # stay pipelined instead of dispatch-bound. A batch that isn't a
+    # multiple of the target group is PADDED up to one — the pad costs
+    # ≤ (group−1) extra rows of HBM traffic, far cheaper than the up-to
+    # 8× grid-step increase of degrading to a small divisor (a batch of
+    # 61 short rows used to fall all the way to group=1).
+    group = min(max((1 << 18) // length, 1), batch, MAX_GROUP)
+    pad = (-batch) % group
+    if pad:
+        zeros = jnp.zeros((pad,) + xr3.shape[1:], jnp.float32)
+        xr3 = jnp.concatenate([xr3, zeros])
+        xi3 = jnp.concatenate([xi3, zeros])
     yr, yi = _fft_call(xr3, xi3, float(sign), group)
+    if pad:
+        yr, yi = yr[:batch], yi[:batch]
     return (yr.reshape(lead + (length,)), yi.reshape(lead + (length,)))
 
 
