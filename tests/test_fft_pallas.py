@@ -119,3 +119,28 @@ def test_plan_sizes_leaf_bounds():
     for length in (256, 2048, 1 << 14, 1 << 18, 1 << 19):
         for s in plan_sizes(length):
             assert 2 <= s <= 128
+
+
+def test_grouped_pad_path():
+    """Prime-ish batch counts pad to a group multiple (r3 weak #7: a
+    batch of 61 short rows used to degrade to group=1); results must be
+    identical to the unpadded math."""
+    x = _rand_c64((61, 2048), seed=61)
+    want = np.fft.fft(x.astype(np.complex128), axis=-1)
+    got = fft_pow2_pallas(jnp.asarray(x))
+    assert got.shape == (61, 2048)
+    assert _rel(got, want) < 2e-6
+
+
+def test_irfft_discards_edge_imag():
+    """Nonzero imag in the DC/Nyquist bins must be ignored, matching
+    np.fft.irfft / the planner (ADVICE r3 low)."""
+    from radiocore_tpu.kernels.fft_pallas import irfft_pow2_pallas
+    rng = np.random.default_rng(31)
+    n = 2048
+    spec = (rng.standard_normal(n // 2 + 1)
+            + 1j * rng.standard_normal(n // 2 + 1)).astype(np.complex64)
+    # Leave DC/Nyquist imag NONZERO on purpose.
+    want = np.fft.irfft(spec.astype(np.complex128), n=n)
+    got = irfft_pow2_pallas(jnp.asarray(spec), n)
+    assert np.max(np.abs(np.asarray(got) - want)) < 2e-6
