@@ -111,9 +111,15 @@ def main(argv=None) -> None:
                              "stations (the distributed six-step band "
                              "FFT shards over all devices either way; "
                              "this exercises the time-major layout)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend in-process (env vars "
+                             "alone cannot override this environment's "
+                             "sitecustomize axon pin - CLAUDE.md)")
     args = parser.parse_args(argv)
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     from radiocore_tpu.runtime.compile_cache import enable_persistent_cache
     enable_persistent_cache()
     from radiocore_tpu.parallel.mesh import make_radio_mesh

@@ -1,0 +1,201 @@
+"""Fused extraction + quadrature demod: band spectrum slice → windowed
+IFFT → FM phase-difference demod in ONE Pallas pass.
+
+Extends :mod:`extract_pallas` (slice+window+Nyquist+IFFT) one stage
+further down the pipeline: the per-station time-domain IQ never touches
+HBM at all. The kernel reads each station's slice of the band spectrum
+(roll via BlockSpec index map), applies the window and Nyquist fold,
+runs the backward transform in VMEM, computes the quadrature FM demod
+``atan2(Im(x·conj(x₋₁)), Re(x·conj(x₋₁)))/π`` on the VPU, and writes
+only the REAL quad signal: one c64 spectrum read + one f32 quad write —
+half the fused-extraction kernel's output traffic and none of the demod
+stage's separate read-modify-write passes.
+
+Two tricks make the demod free of data movement:
+
+* ``x[t−1]`` never requires a shift: it is the backward transform of
+  ``u·e^{−2πik/m}`` — a SECOND transform of the same in-VMEM input with
+  the delay twiddle folded into the window hook (doubles MXU work,
+  which is not the bottleneck; adds zero HBM traffic).
+* The extraction's ``(−1)^t`` roll flip (see extract_pallas) cancels in
+  the product — ``y_t·conj(y_{t−1}) = −x̃_t·conj(x̃_{t−1})`` — and the
+  angle is scale-invariant, so the resample normalization drops out
+  too. Only the global minus sign and the reference's ``quad[0] = 0``
+  chunk-edge convention (reference: ``radiocore/analog/fm.py:63``)
+  survive.
+
+Downstream, fast-mode WBFM needs only ``rfft(quad)`` (one transform —
+:func:`fft_pallas.rfft_pow2_pallas` when enabled) and narrowband
+envelope arithmetic; see ``models/wbfm.py`` mode='fast_spec' and
+``parallel/pipeline.py``.
+
+Row budget: the X and D tile sets are both VMEM-resident, so ``m`` is
+capped at 2^18 (≈12 MB peak incl. Mosaic's block double-buffering;
+2^19 would need ~24 MB of the ~16 MB VMEM).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from radiocore_tpu.runtime.platform import has_tpu
+from radiocore_tpu.kernels.fft_pallas import (
+    MIN_ROW, _dft_planes, _dft_row_2d, _digits, _iota2, _row_flops,
+    plan_sizes,
+)
+
+MAX_DEMOD_ROW = 1 << 18
+
+
+def _extract_demod_kernel(*refs, sizes, m, inv_n, s_norm, gain):
+    xr_ref, xi_ref, nxr_ref, nxi_ref = refs[:4]
+    dft = {}
+    for k, s in enumerate(sizes):
+        dft[s] = (refs[4 + 2 * k][...], refs[5 + 2 * k][...])
+    out_ref = refs[-1]
+    a_n, b_n, c_n = _digits(m)
+
+    # Raw-coordinate window (see extract_pallas: hann in closed form,
+    # w[k] = ½·s_norm·(1 + cos(2π(k − m/2)/n)) for flat k = ia·BC + b·C
+    # + ic) and the Nyquist fold u[0] += nxt·w[0].
+    kk = _iota2((a_n, c_n), 0) * jnp.float32(b_n * c_n) \
+        + _iota2((a_n, c_n), 1)
+    half = jnp.float32(0.5 * s_norm)
+    rad = jnp.float32(2.0 * np.pi * inv_n)
+    w0 = jnp.float32(0.5 * s_norm * (1.0 + np.cos(np.pi * m * inv_n)))
+    ia = jax.lax.broadcasted_iota(jnp.int32, (a_n, c_n), 0)
+    ic = jax.lax.broadcasted_iota(jnp.int32, (a_n, c_n), 1)
+    at0 = (ia == 0) & (ic == 0)
+
+    def pre_plain(cr, ci, b):
+        ang = rad * (kk + jnp.float32(b * c_n - m // 2))
+        w = half * (1.0 + jnp.cos(ang))
+        ur = cr * w
+        ui = ci * w
+        if b == 0:
+            ur = ur + jnp.where(at0, nxr_ref[0, 0, 0] * w0, 0.0)
+            ui = ui + jnp.where(at0, nxi_ref[0, 0, 0] * w0, 0.0)
+        return ur, ui
+
+    def pre_delay(cr, ci, b):
+        # Same windowed input times the one-sample delay twiddle
+        # e^{−2πik/m}: IDFT(u·e^{−2πik/m})[t] = x̃[t−1] (circular).
+        ur, ui = pre_plain(cr, ci, b)
+        ang = jnp.float32(-2.0 * np.pi / m) * (kk + jnp.float32(b * c_n))
+        dr, di = jnp.cos(ang), jnp.sin(ang)
+        return ur * dr - ui * di, ur * di + ui * dr
+
+    tiles_x = _dft_row_2d(xr_ref[0], xi_ref[0], dft, +1.0, m,
+                          pre=pre_plain)
+    tiles_d = _dft_row_2d(xr_ref[0], xi_ref[0], dft, +1.0, m,
+                          pre=pre_delay)
+
+    # quad[t] = gain·atan2(Im P, Re P), P = y_t·conj(y_{t−1})
+    #         = −x̃_t·conj(x̃_{t−1}) (the (−1)^t flips cancel up to sign).
+    g = jnp.float32(gain)
+    vp0 = None
+    for q in range(b_n):
+        xr_q, xi_q = tiles_x[q]
+        dr_q, di_q = tiles_d[q]
+        pr = -(xr_q * dr_q + xi_q * di_q)
+        pi = -(xi_q * dr_q - xr_q * di_q)
+        quad = jnp.arctan2(pi, pr) * g
+        if q == 0:
+            # Chunk-edge convention quad[0] = 0 (t = 0 ⇔ v = p = 0).
+            if vp0 is None:
+                v0 = jax.lax.broadcasted_iota(jnp.int32, (c_n, a_n), 0)
+                p0 = jax.lax.broadcasted_iota(jnp.int32, (c_n, a_n), 1)
+                vp0 = (v0 == 0) & (p0 == 0)
+            quad = jnp.where(vp0, 0.0, quad)
+        out_ref[0, :, q * a_n:(q + 1) * a_n] = quad
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("c", "m", "n", "r0", "s_norm", "gain"))
+def _extract_demod_call(xr3, xi3, c: int, m: int, n: int, r0: int,
+                        s_norm: float, gain: float):
+    a_n, b_n, c_n = _digits(m)
+    c2 = n // m
+    sizes = tuple(plan_sizes(m))
+    consts = []
+    for s in sizes:
+        dr, di = _dft_planes(s, +1.0)
+        consts.extend([jnp.asarray(dr), jnp.asarray(di)])
+
+    flops = 2 * _row_flops(m) * c + 8 * m * c
+    bytes_acc = 4 * ((2 + 1) * c * m + sum(2 * s * s for s in sizes))
+    trans = c * m * (2 * (1 if b_n == 1 else 2) * 2 + 1)
+
+    row = pl.BlockSpec((1, a_n, b_n * c_n),
+                       lambda i: ((i + r0) % c2, 0, 0),
+                       memory_space=pltpu.VMEM)
+    nxt = pl.BlockSpec((1, 1, 1), lambda i: ((i + r0 + 1) % c2, 0, 0),
+                       memory_space=pltpu.VMEM)
+    const_specs = [
+        pl.BlockSpec(cst.shape, functools.partial(
+            lambda nd, *_: (0,) * nd, cst.ndim), memory_space=pltpu.VMEM)
+        for cst in consts
+    ]
+    out = pl.BlockSpec((1, c_n, b_n * a_n), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_extract_demod_kernel, sizes=sizes, m=m,
+                          inv_n=1.0 / n, s_norm=s_norm, gain=gain),
+        grid=(c,),
+        in_specs=[row, row, nxt, nxt] + const_specs,
+        out_specs=[out],
+        out_shape=[jax.ShapeDtypeStruct((c, c_n, b_n * a_n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=bytes_acc,
+                                      transcendentals=trans),
+        interpret=not has_tpu(),
+    )(xr3, xi3, xr3, xi3, *consts)[0]
+
+
+def extract_demod_ok(n: int, m: int, c: int) -> bool:
+    """Whether the fused extract+demod kernel supports this plan."""
+    return ((m & (m - 1)) == 0 and MIN_ROW <= m <= MAX_DEMOD_ROW
+            and n % m == 0 and n // m >= 2 and c <= n // m)
+
+
+def extract_demod_rows_pallas(spectrum: jnp.ndarray, a0: int, c: int,
+                              m: int, gain: float | None = None
+                              ) -> jnp.ndarray:
+    """Uniform-plan extraction + FM quadrature demod, one kernel pass.
+
+    ``spectrum (n,) c64 → quad (c, m) f32``: station i's windowed IQ run
+    starts at spectrum bin ``(a0 + i·m) mod n`` (extract_rows_pallas
+    semantics), immediately demodulated —
+    ``quad ≡ ops.demod.quadrature_demod(extracted_iq)`` with the
+    reference's leading-zero padding. ``gain`` defaults to ``1/π``.
+    """
+    n = int(spectrum.shape[-1])
+    if spectrum.ndim != 1:
+        raise ValueError("extract_demod_rows_pallas: 1-D spectrum only")
+    if not extract_demod_ok(n, m, c):
+        raise ValueError(f"extract_demod_rows_pallas: unsupported plan "
+                         f"n={n} m={m} c={c}")
+    if gain is None:
+        gain = 1.0 / np.pi
+    xr = jnp.real(spectrum).astype(jnp.float32)
+    xi = jnp.imag(spectrum).astype(jnp.float32)
+    if a0 % m:
+        xr = jnp.concatenate([xr[a0:], xr[:a0]])
+        xi = jnp.concatenate([xi[a0:], xi[:a0]])
+        r0 = 0
+    else:
+        r0 = a0 // m
+    a_n, b_n, c_n = _digits(m)
+    xr3 = xr.reshape(n // m, a_n, b_n * c_n)
+    xi3 = xi.reshape(n // m, a_n, b_n * c_n)
+    # s_norm only shapes magnitudes (the angle is scale-invariant); use
+    # the extraction's own normalization for healthy f32 ranges.
+    s_norm = 1.0 / ((n / m) * m)
+    q = _extract_demod_call(xr3, xi3, c, m, n, r0, float(s_norm),
+                            float(gain))
+    return q.reshape(c, m)

@@ -214,7 +214,17 @@ def make_wbfm_step(input_size: int, output_size: int,
         from radiocore_tpu.ops import fft as _fft
         quad = quadrature_demod(iq)
         q_spec = _fft.rfft(quad)                       # the ONE big rfft
+        return step_fast_spec(q_spec, state)
 
+    def step_fast_spec(q_spec: jnp.ndarray, state: State
+                       ) -> Tuple[jnp.ndarray, State]:
+        """Fast-mode tail from the composite (quad) rfft spectrum.
+
+        Entry point for the fused extract+demod kernel path
+        (kernels/extract_demod_pallas.py): the pipeline computes
+        ``q_spec = rfft(quad)`` itself and the station IQ never exists.
+        """
+        from radiocore_tpu.ops import fft as _fft
         if use_env:
             lmr_t = _lmr_env(q_spec)                   # rate-n2 envelopes
             lmr_trunc = _fft.rfft(lmr_t)[..., :m2]     # scales cancel: see
@@ -256,6 +266,8 @@ def make_wbfm_step(input_size: int, output_size: int,
         return step_exact
     if mode == "fast":
         return step_fast
+    if mode == "fast_spec":
+        return step_fast_spec
     raise ValueError(f"unknown mode {mode!r}")
 
 

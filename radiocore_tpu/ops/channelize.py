@@ -48,6 +48,19 @@ def extraction_plan(n: int, shifts: Sequence[int], bandwidth: int):
     return starts, w_out, w_fix, m2, run
 
 
+def uniform_extraction_start(n: int, shifts: Sequence[int],
+                             bandwidth: int):
+    """First slice start ``a0`` when the plan tiles the band uniformly
+    with spacing == bandwidth (the fused-kernel layout), else None."""
+    m = int(bandwidth)
+    c = len(shifts)
+    starts, _w, _f, _m2, _run = extraction_plan(n, shifts, m)
+    uniform = (c > 1 and n >= c * m
+               and all((starts[i] - starts[0]) % n == (i * m) % n
+                       for i in range(c)))
+    return starts[0] if uniform else None
+
+
 @functools.lru_cache(maxsize=32)
 def make_extractor(n: int, shifts: Tuple[int, ...],
                    bandwidth: int) -> Callable:

@@ -157,6 +157,33 @@ def make_multi_station_step(
     def _fusable(s: int) -> bool:
         return (s & (s - 1)) == 0 or _fft._plan(s) is None
 
+    # Fused extract+demod kernel path (opt-in while hardware-validating):
+    # band spectrum → quad (C, m) f32 in ONE Pallas pass — the station
+    # IQ never touches HBM — then one batched rfft + the fast-mode
+    # narrowband tail (kernels/extract_demod_pallas.py).
+    import os
+    if (os.environ.get("RADIOCORE_TPU_EXTRACT_DEMOD") == "fused"
+            and mode == "fast" and mesh is None):
+        from radiocore_tpu.kernels.extract_demod_pallas import (
+            extract_demod_ok, extract_demod_rows_pallas)
+        from radiocore_tpu.ops.channelize import uniform_extraction_start
+        shifts = tuple(int(-o) for o in offsets_hz)
+        a0 = uniform_extraction_start(int(n_band), shifts,
+                                      int(station_chunk))
+        if (a0 is not None and station_chunk % 2 == 0
+                and extract_demod_ok(int(n_band), int(station_chunk),
+                                     n_stations)):
+            tail = jax.vmap(make_wbfm_step(station_chunk, audio_chunk,
+                                           deemphasis, mode="fast_spec"))
+
+            @jax.jit
+            def step(band_iq: jnp.ndarray, state: dict):
+                quad = extract_demod_rows_pallas(
+                    band_fft(band_iq), a0, n_stations, int(station_chunk))
+                return tail(_fft.rfft(quad), state)
+
+            return step, state0
+
     if all(_fusable(s) for s in {int(n_band), int(station_chunk),
                                  int(audio_chunk)}):
         @jax.jit

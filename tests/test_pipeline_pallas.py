@@ -54,3 +54,35 @@ def test_fused_step_matches_default(pallas_extract_env):
     # demod's phase differencing amplifies that to ~2e-5 on the audio.
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=4e-5)
+
+
+def test_fused_extract_demod_step_matches_default(monkeypatch):
+    """RADIOCORE_TPU_EXTRACT_DEMOD=fused: band spectrum → quad in one
+    Pallas pass + the fast_spec tail must match the default fast step."""
+    import numpy as np
+    from radiocore_tpu.ops import channelize
+    from radiocore_tpu.parallel.pipeline import make_multi_station_step
+
+    n_stations, station_chunk, audio_chunk = 4, 65_536, 16_384
+    n_band = n_stations * station_chunk
+    half = n_band // 2 - station_chunk // 2
+    offsets = [int(-half + i * station_chunk) for i in range(n_stations)]
+
+    rng = np.random.default_rng(23)
+    band = (rng.standard_normal(n_band)
+            + 1j * rng.standard_normal(n_band)).astype(np.complex64) * 0.1
+
+    monkeypatch.setenv("RADIOCORE_TPU_EXTRACT_DEMOD", "fused")
+    step_p, state_p = make_multi_station_step(
+        n_band, offsets, station_chunk, audio_chunk, mode="fast")
+    got, _ = step_p(band, state_p)
+
+    monkeypatch.delenv("RADIOCORE_TPU_EXTRACT_DEMOD")
+    channelize.make_extractor.cache_clear()
+    step_d, state_d = make_multi_station_step(
+        n_band, offsets, station_chunk, audio_chunk, mode="fast")
+    want, _ = step_d(band, state_d)
+
+    assert np.asarray(got).shape == np.asarray(want).shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4)
