@@ -23,7 +23,7 @@ probe() {
   local tries=0
   while :; do
     tries=$((tries + 1))
-    if timeout 300 python - <<'EOF' >> "$LOG" 2>&1
+    if timeout 600 python - <<'EOF' >> "$LOG" 2>&1
 import jax, jax.numpy as jnp
 print("probe:", float(jax.jit(lambda v: v + 1)(jnp.ones(8)).sum()))
 EOF
@@ -54,6 +54,9 @@ run() {
       return 0
     fi
     echo "=== $name FAIL rc=$? (attempt $attempt) $(date +%T) ===" >> "$LOG"
+    # Keep whatever the attempt printed — failed-attempt stdout is
+    # evidence (the r4 smoke stage's per-variant errors live there).
+    [ -s "$out.part" ] && mv "$out.part" "$LOG.$name.fail$attempt"
     rm -f "$out.part"
     sleep 60
   done

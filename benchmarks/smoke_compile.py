@@ -189,7 +189,11 @@ def main(argv=None) -> int:
                               "s": round(time.perf_counter() - t0, 1),
                               "err": f"{type(e).__name__}: {e}"[:300]}),
                   flush=True)
-    return fails
+    print(json.dumps({"stage": "smoke-compile", "fails": fails}),
+          flush=True)
+    # Always exit 0: the per-variant records ARE the product; a queue
+    # wrapper must not discard them because one variant failed.
+    return 0
 
 
 if __name__ == "__main__":

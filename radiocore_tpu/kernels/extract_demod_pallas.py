@@ -46,11 +46,43 @@ from jax.experimental.pallas import tpu as pltpu
 
 from radiocore_tpu.runtime.platform import has_tpu
 from radiocore_tpu.kernels.fft_pallas import (
-    MIN_ROW, _dft_planes, _dft_row_2d, _digits, _iota2, _row_flops,
-    plan_sizes,
+    MIN_ROW, VMEM_LIMIT, _dft_planes, _dft_row_2d, _digits, _iota2,
+    _row_flops, plan_sizes,
 )
 
 MAX_DEMOD_ROW = 1 << 18
+
+
+def atan2_poly(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Four-quadrant arctangent from VPU-friendly primitives.
+
+    Mosaic has no ``atan``/``atan2`` lowering (r4 smoke), so this is the
+    classic octant reduction + odd minimax polynomial (Cephes ``atanf``
+    coefficients): ``z = min/max ∈ [0,1]``, folded to ``[0, tan(π/8)]``
+    via ``(z−1)/(z+1)``, degree-9 odd polynomial, then the octant/
+    quadrant corrections as selects. Max abs error ~1e-6 rad vs float64
+    (asserted by test) — far inside the demod chain's f32 noise floor.
+    Matches ``np.arctan2`` conventions at y=0 (x>0 → 0, x<0 → π) and
+    returns 0 at (0, 0).
+    """
+    ay = jnp.abs(y)
+    ax = jnp.abs(x)
+    hi = jnp.maximum(ay, ax)
+    lo = jnp.minimum(ay, ax)
+    # Guard must stay NORMAL in f32: XLA flushes subnormals (1e-38) to
+    # zero, turning the origin into 0/0.
+    z = lo / jnp.maximum(hi, jnp.float32(1e-30))        # [0, 1]
+    big = z > jnp.float32(0.4142135623730950)           # tan(π/8)
+    zr = jnp.where(big, (z - 1.0) / (z + 1.0), z)
+    s = zr * zr
+    p = ((jnp.float32(8.05374449538e-2) * s
+          - jnp.float32(1.38776856032e-1)) * s
+         + jnp.float32(1.99777106478e-1)) * s - jnp.float32(3.33329491539e-1)
+    r = p * s * zr + zr
+    r = jnp.where(big, r + jnp.float32(np.pi / 4), r)
+    r = jnp.where(ay > ax, jnp.float32(np.pi / 2) - r, r)
+    r = jnp.where(x < 0, jnp.float32(np.pi) - r, r)
+    return jnp.where(y < 0, -r, r)
 
 
 def _extract_demod_kernel(*refs, sizes, m, inv_n, s_norm, gain):
@@ -105,7 +137,7 @@ def _extract_demod_kernel(*refs, sizes, m, inv_n, s_norm, gain):
         dr_q, di_q = tiles_d[q]
         pr = -(xr_q * dr_q + xi_q * di_q)
         pi = -(xi_q * dr_q - xr_q * di_q)
-        quad = jnp.arctan2(pi, pr) * g
+        quad = atan2_poly(pi, pr) * g
         if q == 0:
             # Chunk-edge convention quad[0] = 0 (t = 0 ⇔ v = p = 0).
             if vp0 is None:
@@ -135,7 +167,10 @@ def _extract_demod_call(xr3, xi3, c: int, m: int, n: int, r0: int,
     row = pl.BlockSpec((1, a_n, b_n * c_n),
                        lambda i: ((i + r0) % c2, 0, 0),
                        memory_space=pltpu.VMEM)
-    nxt = pl.BlockSpec((1, 1, 1), lambda i: ((i + r0 + 1) % c2, 0, 0),
+    # Smallest Mosaic-legal window containing [0, 0, 0] (see
+    # extract_pallas: last two block dims must divide (8, 128) or equal
+    # the array's).
+    nxt = pl.BlockSpec((1, a_n, 128), lambda i: ((i + r0 + 1) % c2, 0, 0),
                        memory_space=pltpu.VMEM)
     const_specs = [
         pl.BlockSpec(cst.shape, functools.partial(
@@ -153,6 +188,7 @@ def _extract_demod_call(xr3, xi3, c: int, m: int, n: int, r0: int,
         out_shape=[jax.ShapeDtypeStruct((c, c_n, b_n * a_n), jnp.float32)],
         cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=bytes_acc,
                                       transcendentals=trans),
+        compiler_params=VMEM_LIMIT,
         interpret=not has_tpu(),
     )(xr3, xi3, xr3, xi3, *consts)[0]
 

@@ -53,8 +53,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from radiocore_tpu.runtime.platform import has_tpu
 from radiocore_tpu.kernels.fft_pallas import (
-    MAX_ROW, MIN_ROW, _dft_planes, _dft_row_2d, _digits, _iota2,
-    _row_flops, plan_sizes,
+    MAX_ROW, MIN_ROW, VMEM_LIMIT, _dft_planes, _dft_row_2d, _digits,
+    _iota2, _row_flops, plan_sizes,
 )
 
 
@@ -122,7 +122,11 @@ def _extract_call(xr3, xi3, c: int, m: int, n: int, r0: int,
     row = pl.BlockSpec((1, a_n, b_n * c_n),
                        lambda i: ((i + r0) % c2, 0, 0),
                        memory_space=pltpu.VMEM)
-    nxt = pl.BlockSpec((1, 1, 1), lambda i: ((i + r0 + 1) % c2, 0, 0),
+    # Mosaic requires the block's last two dims divisible by (8, 128) or
+    # equal to the array's: a (1, a_n, 128) block is the smallest legal
+    # window containing the one element [0, 0, 0] we read (≤64 KB vs the
+    # row's MBs — negligible extra traffic).
+    nxt = pl.BlockSpec((1, a_n, 128), lambda i: ((i + r0 + 1) % c2, 0, 0),
                        memory_space=pltpu.VMEM)
     const_specs = [
         pl.BlockSpec(cst.shape, functools.partial(
@@ -141,6 +145,7 @@ def _extract_call(xr3, xi3, c: int, m: int, n: int, r0: int,
                    jax.ShapeDtypeStruct((c, c_n, b_n * a_n), jnp.float32)],
         cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=bytes_acc,
                                       transcendentals=trans),
+        compiler_params=VMEM_LIMIT,
         interpret=not has_tpu(),
     )(xr3, xi3, xr3, xi3, *consts)
 

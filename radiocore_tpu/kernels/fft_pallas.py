@@ -67,6 +67,14 @@ MAX_ROW = 1 << 19       # VMEM budget: 2 planes × 2 MB in/out + temps
 MIN_ROW = 256
 MAX_GROUP = 8           # short-row batching unrolls the kernel body
 
+# XLA's default scoped-vmem limit is 16 MB; at m = 2^18 with grid ≥ 48
+# Mosaic's buffering pushed the kernel to 18.4 MB and the compile died
+# (an "HTTP 500 compile-helper exit 1" through the relay — the real
+# error was the scoped-vmem OOM in its log tail, r4 bisect). Raise the
+# limit for every kernel in this family; it is a cap, not a
+# reservation.
+VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 
 def _digits(m: int) -> Tuple[int, int, int]:
     """m = A·B·C, C = 128 lanes, B the small VPU digit (1 if 2-level)."""
@@ -248,6 +256,7 @@ def _fft_call(xr: jnp.ndarray, xi: jnp.ndarray, sign: float, group: int):
             jax.ShapeDtypeStruct((batch, c_n, b_n * a_n), jnp.float32)],
         cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=bytes_acc,
                                       transcendentals=trans),
+        compiler_params=VMEM_LIMIT,
         interpret=not has_tpu(),
     )(xr, xi, *consts)
 

@@ -103,3 +103,19 @@ def test_fused_demod_on_fm_signal():
     b = b - b.mean()
     rho = np.dot(g, b) / np.sqrt(np.dot(g, g) * np.dot(b, b) + 1e-30)
     assert rho > 0.9
+
+
+def test_atan2_poly_matches_numpy():
+    """Octant-reduced polynomial atan2 (Mosaic has no atan lowering) vs
+    float64 np.arctan2 over all quadrants + axes + origin."""
+    from radiocore_tpu.kernels.extract_demod_pallas import atan2_poly
+    rng = np.random.default_rng(41)
+    y = rng.standard_normal(4096).astype(np.float32) * 3
+    x = rng.standard_normal(4096).astype(np.float32) * 3
+    # Edge cases: axes and origin.
+    y = np.concatenate([y, [0, 0, 1, -1, 0]]).astype(np.float32)
+    x = np.concatenate([x, [1, -1, 0, 0, 0]]).astype(np.float32)
+    got = np.asarray(atan2_poly(jnp.asarray(y), jnp.asarray(x)))
+    want = np.arctan2(y.astype(np.float64), x.astype(np.float64))
+    # np.arctan2(0, -1) = +pi; ours too. Origin: ours 0, numpy 0.
+    np.testing.assert_allclose(got, want, atol=2e-6)
