@@ -45,6 +45,8 @@ MODULES = [
     "radiocore_tpu.ops.synth",
     "radiocore_tpu.kernels.fir_pallas",
     "radiocore_tpu.kernels.fft_pallas",
+    "radiocore_tpu.kernels.extract_pallas",
+    "radiocore_tpu.kernels.extract_demod_pallas",
     "radiocore_tpu.parallel.mesh",
     "radiocore_tpu.parallel.halo",
     "radiocore_tpu.parallel.fft_sharded",
