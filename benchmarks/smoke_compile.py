@@ -113,6 +113,15 @@ def main(argv=None) -> int:
             return extract_demod_rows_pallas(s, (n - half) % n, c, m)
         jax.jit(f).lower(spec).compile()
 
+    def compile_fused_extract_demod_spec():
+        from radiocore_tpu.kernels.extract_demod_pallas import (
+            extract_demod_spec_rows_pallas)
+        spec = jax.ShapeDtypeStruct((n,), jnp.complex64)
+
+        def f(s):
+            return extract_demod_spec_rows_pallas(s, (n - half) % n, c, m)
+        jax.jit(f).lower(spec).compile()
+
     def compile_fir_kernel():
         from radiocore_tpu.kernels.fir_pallas import fir_causal_pallas
         import numpy as np
@@ -161,6 +170,7 @@ def main(argv=None) -> int:
         "fft_kernel_grouped": compile_fft_kernel_grouped,
         "fused_extract": compile_fused_extract,
         "fused_extract_demod": compile_fused_extract_demod,
+        "fused_extract_demod_spec": compile_fused_extract_demod_spec,
         "fir_kernel": compile_fir_kernel,
         "pipeline_default": lambda: compile_pipeline({}),
         "pipeline_fused": lambda: compile_pipeline(

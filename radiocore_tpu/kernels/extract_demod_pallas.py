@@ -193,6 +193,173 @@ def _extract_demod_call(xr3, xi3, c: int, m: int, n: int, r0: int,
     )(xr3, xi3, xr3, xi3, *consts)[0]
 
 
+def _extract_demod_spec_kernel(*refs, sizes, m, inv_n, s_norm, gain):
+    """Extraction + demod + FORWARD transform: the composite spectrum
+    ``rfft(quad)``'s full complex form leaves the kernel; the quad time
+    series never touches HBM either.
+
+    Requires A == C (m in [2^14, 2^18]): the natural-order (C, B·A)
+    quad buffer and the forward pass's (A, B·C) input are then the SAME
+    (128, B·128) memory — one VMEM scratch bridges the passes with no
+    reshape/transpose (Mosaic has neither).
+    """
+    xr_ref, xi_ref, nxr_ref, nxi_ref = refs[:4]
+    n_dft = 2 * len(sizes)
+    dft_b = {}
+    dft_f = {}
+    for k, s in enumerate(sizes):
+        dft_b[s] = (refs[4 + 2 * k][...], refs[5 + 2 * k][...])
+        dft_f[s] = (refs[4 + n_dft + 2 * k][...],
+                    refs[5 + n_dft + 2 * k][...])
+    or_ref, oi_ref = refs[4 + 2 * n_dft], refs[5 + 2 * n_dft]
+    quad_ref = refs[-1]                                  # VMEM scratch
+    a_n, b_n, c_n = _digits(m)
+
+    kk = _iota2((a_n, c_n), 0) * jnp.float32(b_n * c_n) \
+        + _iota2((a_n, c_n), 1)
+    half = jnp.float32(0.5 * s_norm)
+    rad = jnp.float32(2.0 * np.pi * inv_n)
+    w0 = jnp.float32(0.5 * s_norm * (1.0 + np.cos(np.pi * m * inv_n)))
+    ia = jax.lax.broadcasted_iota(jnp.int32, (a_n, c_n), 0)
+    ic = jax.lax.broadcasted_iota(jnp.int32, (a_n, c_n), 1)
+    at0 = (ia == 0) & (ic == 0)
+
+    def pre_plain(cr, ci, b):
+        ang = rad * (kk + jnp.float32(b * c_n - m // 2))
+        w = half * (1.0 + jnp.cos(ang))
+        ur = cr * w
+        ui = ci * w
+        if b == 0:
+            ur = ur + jnp.where(at0, nxr_ref[0, 0, 0] * w0, 0.0)
+            ui = ui + jnp.where(at0, nxi_ref[0, 0, 0] * w0, 0.0)
+        return ur, ui
+
+    def pre_delay(cr, ci, b):
+        ur, ui = pre_plain(cr, ci, b)
+        ang = jnp.float32(-2.0 * np.pi / m) * (kk + jnp.float32(b * c_n))
+        dr, di = jnp.cos(ang), jnp.sin(ang)
+        return ur * dr - ui * di, ur * di + ui * dr
+
+    tiles_x = _dft_row_2d(xr_ref[0], xi_ref[0], dft_b, +1.0, m,
+                          pre=pre_plain)
+    tiles_d = _dft_row_2d(xr_ref[0], xi_ref[0], dft_b, +1.0, m,
+                          pre=pre_delay)
+
+    g = jnp.float32(gain)
+    for q in range(b_n):
+        xr_q, xi_q = tiles_x[q]
+        dr_q, di_q = tiles_d[q]
+        pr = -(xr_q * dr_q + xi_q * di_q)
+        pi = -(xi_q * dr_q - xr_q * di_q)
+        quad = atan2_poly(pi, pr) * g
+        if q == 0:
+            v0 = jax.lax.broadcasted_iota(jnp.int32, (c_n, a_n), 0)
+            p0 = jax.lax.broadcasted_iota(jnp.int32, (c_n, a_n), 1)
+            quad = jnp.where((v0 == 0) & (p0 == 0), 0.0, quad)
+        quad_ref[:, q * a_n:(q + 1) * a_n] = quad
+
+    # Forward pass over the scratch re-read in (A, B·C) interpretation
+    # (identical memory when A == C). Real input: imag plane is zeros —
+    # the dead matmuls ride the MXU, which is not the bottleneck here.
+    qv = quad_ref[...]
+    tiles_s = _dft_row_2d(qv, jnp.zeros_like(qv), dft_f, -1.0, m)
+    for q, (vr, vi) in enumerate(tiles_s):
+        or_ref[0, :, q * a_n:(q + 1) * a_n] = vr
+        oi_ref[0, :, q * a_n:(q + 1) * a_n] = vi
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("c", "m", "n", "r0", "s_norm", "gain"))
+def _extract_demod_spec_call(xr3, xi3, c: int, m: int, n: int, r0: int,
+                             s_norm: float, gain: float):
+    a_n, b_n, c_n = _digits(m)
+    c2 = n // m
+    sizes = tuple(plan_sizes(m))
+    consts = []
+    for sign in (+1.0, -1.0):
+        for s in sizes:
+            dr, di = _dft_planes(s, sign)
+            consts.extend([jnp.asarray(dr), jnp.asarray(di)])
+
+    flops = 3 * _row_flops(m) * c + 8 * m * c
+    bytes_acc = 4 * ((2 + 2) * c * m + 2 * sum(2 * s * s for s in sizes))
+    trans = c * m * (3 * (1 if b_n == 1 else 2) * 2)
+
+    row = pl.BlockSpec((1, a_n, b_n * c_n),
+                       lambda i: ((i + r0) % c2, 0, 0),
+                       memory_space=pltpu.VMEM)
+    nxt = pl.BlockSpec((1, a_n, 128), lambda i: ((i + r0 + 1) % c2, 0, 0),
+                       memory_space=pltpu.VMEM)
+    const_specs = [
+        pl.BlockSpec(cst.shape, functools.partial(
+            lambda nd, *_: (0,) * nd, cst.ndim), memory_space=pltpu.VMEM)
+        for cst in consts
+    ]
+    out = pl.BlockSpec((1, c_n, b_n * a_n), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_extract_demod_spec_kernel, sizes=sizes, m=m,
+                          inv_n=1.0 / n, s_norm=s_norm, gain=gain),
+        grid=(c,),
+        in_specs=[row, row, nxt, nxt] + const_specs,
+        out_specs=[out, out],
+        out_shape=[jax.ShapeDtypeStruct((c, c_n, b_n * a_n), jnp.float32),
+                   jax.ShapeDtypeStruct((c, c_n, b_n * a_n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((c_n, b_n * a_n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=bytes_acc,
+                                      transcendentals=trans),
+        compiler_params=VMEM_LIMIT,
+        interpret=not has_tpu(),
+    )(xr3, xi3, xr3, xi3, *consts)
+
+
+def extract_demod_spec_ok(n: int, m: int, c: int) -> bool:
+    """Whether the spectrum-output fused kernel supports this plan
+    (extract_demod_ok AND A == C, i.e. m in [2^14, 2^18])."""
+    if not extract_demod_ok(n, m, c):
+        return False
+    a_n, _b, c_n = _digits(m)
+    return a_n == c_n
+
+
+def extract_demod_spec_rows_pallas(spectrum: jnp.ndarray, a0: int,
+                                   c: int, m: int,
+                                   gain: float | None = None
+                                   ) -> jnp.ndarray:
+    """Extraction + FM demod + composite spectrum, one kernel pass.
+
+    ``spectrum (n,) c64 → q_spec (c, m) c64`` where
+    ``q_spec ≡ fft(quadrature_demod(extracted_iq))`` (real input ⇒ the
+    first ``m//2 + 1`` bins are ``rfft(quad)``; the rest are their
+    conjugate mirror). Fast-mode WBFM's ``fast_spec`` tail consumes
+    ``q_spec[:, :m//2+1]`` directly — the per-station time domain never
+    exists in HBM at all.
+    """
+    n = int(spectrum.shape[-1])
+    if spectrum.ndim != 1:
+        raise ValueError("extract_demod_spec_rows_pallas: 1-D only")
+    if not extract_demod_spec_ok(n, m, c):
+        raise ValueError(f"extract_demod_spec_rows_pallas: unsupported "
+                         f"plan n={n} m={m} c={c}")
+    if gain is None:
+        gain = 1.0 / np.pi
+    xr = jnp.real(spectrum).astype(jnp.float32)
+    xi = jnp.imag(spectrum).astype(jnp.float32)
+    if a0 % m:
+        xr = jnp.concatenate([xr[a0:], xr[:a0]])
+        xi = jnp.concatenate([xi[a0:], xi[:a0]])
+        r0 = 0
+    else:
+        r0 = a0 // m
+    a_n, b_n, c_n = _digits(m)
+    xr3 = xr.reshape(n // m, a_n, b_n * c_n)
+    xi3 = xi.reshape(n // m, a_n, b_n * c_n)
+    s_norm = 1.0 / ((n / m) * m)
+    sr, si = _extract_demod_spec_call(xr3, xi3, c, m, n, r0,
+                                      float(s_norm), float(gain))
+    return jax.lax.complex(sr, si).reshape(c, m)
+
+
 def extract_demod_ok(n: int, m: int, c: int) -> bool:
     """Whether the fused extract+demod kernel supports this plan."""
     return ((m & (m - 1)) == 0 and MIN_ROW <= m <= MAX_DEMOD_ROW

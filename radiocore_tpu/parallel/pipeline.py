@@ -162,25 +162,40 @@ def make_multi_station_step(
     # IQ never touches HBM — then one batched rfft + the fast-mode
     # narrowband tail (kernels/extract_demod_pallas.py).
     import os
-    if (os.environ.get("RADIOCORE_TPU_EXTRACT_DEMOD") == "fused"
-            and mode == "fast" and mesh is None):
+    _xd = os.environ.get("RADIOCORE_TPU_EXTRACT_DEMOD")
+    if _xd in ("fused", "spec") and mode == "fast" and mesh is None:
         from radiocore_tpu.kernels.extract_demod_pallas import (
-            extract_demod_ok, extract_demod_rows_pallas)
+            extract_demod_ok, extract_demod_rows_pallas,
+            extract_demod_spec_ok, extract_demod_spec_rows_pallas)
         from radiocore_tpu.ops.channelize import uniform_extraction_start
         shifts = tuple(int(-o) for o in offsets_hz)
         a0 = uniform_extraction_start(int(n_band), shifts,
                                       int(station_chunk))
-        if (a0 is not None and station_chunk % 2 == 0
-                and extract_demod_ok(int(n_band), int(station_chunk),
-                                     n_stations)):
+        sc = int(station_chunk)
+        ok = (a0 is not None and sc % 2 == 0
+              and (extract_demod_spec_ok(int(n_band), sc, n_stations)
+                   if _xd == "spec"
+                   else extract_demod_ok(int(n_band), sc, n_stations)))
+        if ok:
             tail = jax.vmap(make_wbfm_step(station_chunk, audio_chunk,
                                            deemphasis, mode="fast_spec"))
+            m2 = sc // 2 + 1
 
-            @jax.jit
-            def step(band_iq: jnp.ndarray, state: dict):
-                quad = extract_demod_rows_pallas(
-                    band_fft(band_iq), a0, n_stations, int(station_chunk))
-                return tail(_fft.rfft(quad), state)
+            if _xd == "spec":
+                # Spectrum-output mega-kernel: band spectrum →
+                # composite spectra directly; neither the station IQ
+                # nor the quad time series ever exists in HBM.
+                @jax.jit
+                def step(band_iq: jnp.ndarray, state: dict):
+                    qs = extract_demod_spec_rows_pallas(
+                        band_fft(band_iq), a0, n_stations, sc)
+                    return tail(qs[:, :m2], state)
+            else:
+                @jax.jit
+                def step(band_iq: jnp.ndarray, state: dict):
+                    quad = extract_demod_rows_pallas(
+                        band_fft(band_iq), a0, n_stations, sc)
+                    return tail(_fft.rfft(quad), state)
 
             return step, state0
 

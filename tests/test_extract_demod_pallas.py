@@ -119,3 +119,30 @@ def test_atan2_poly_matches_numpy():
     want = np.arctan2(y.astype(np.float64), x.astype(np.float64))
     # np.arctan2(0, -1) = +pi; ours too. Origin: ours 0, numpy 0.
     np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_fused_demod_spec_matches_two_step():
+    """Spectrum-output mega-kernel (extract+demod+forward transform in
+    one pass) vs extraction → quadrature_demod → fft."""
+    from radiocore_tpu.ops import channelize
+    from radiocore_tpu.ops.demod import quadrature_demod
+    from radiocore_tpu.kernels.extract_demod_pallas import (
+        extract_demod_spec_ok, extract_demod_spec_rows_pallas)
+
+    c, m, n = 4, 16_384, 65_536          # smallest A==C row (2^14)
+    assert extract_demod_spec_ok(n, m, c)
+    shifts = tuple(int(-o) for o in _uniform_plan(c, m, n))
+    spec = jnp.asarray(_spectrum(n, seed=13))
+
+    channelize.make_extractor.cache_clear()
+    iq = channelize.make_extractor(n, shifts, m)(spec)
+    quad = quadrature_demod(iq)
+    want = np.fft.fft(np.asarray(quad).astype(np.complex128), axis=-1)
+
+    starts, *_ = channelize.extraction_plan(n, shifts, m)
+    got = np.asarray(extract_demod_spec_rows_pallas(spec, starts[0], c, m))
+
+    assert got.shape == (c, m)
+    # Forward-DFT output error ~ sqrt(m)*eps on O(1) inputs.
+    scale = np.max(np.abs(want))
+    np.testing.assert_allclose(got / scale, want / scale, atol=3e-5)

@@ -56,9 +56,14 @@ def test_fused_step_matches_default(pallas_extract_env):
                                atol=4e-5)
 
 
-def test_fused_extract_demod_step_matches_default(monkeypatch):
-    """RADIOCORE_TPU_EXTRACT_DEMOD=fused: band spectrum → quad in one
-    Pallas pass + the fast_spec tail must match the default fast step."""
+import pytest
+
+
+@pytest.mark.parametrize("impl", ["fused", "spec"])
+def test_fused_extract_demod_step_matches_default(impl, monkeypatch):
+    """RADIOCORE_TPU_EXTRACT_DEMOD=fused|spec: band spectrum → quad
+    (or composite spectrum) in one Pallas pass + the fast_spec tail
+    must match the default fast step."""
     import numpy as np
     from radiocore_tpu.ops import channelize
     from radiocore_tpu.parallel.pipeline import make_multi_station_step
@@ -72,7 +77,7 @@ def test_fused_extract_demod_step_matches_default(monkeypatch):
     band = (rng.standard_normal(n_band)
             + 1j * rng.standard_normal(n_band)).astype(np.complex64) * 0.1
 
-    monkeypatch.setenv("RADIOCORE_TPU_EXTRACT_DEMOD", "fused")
+    monkeypatch.setenv("RADIOCORE_TPU_EXTRACT_DEMOD", impl)
     step_p, state_p = make_multi_station_step(
         n_band, offsets, station_chunk, audio_chunk, mode="fast")
     got, _ = step_p(band, state_p)
