@@ -92,12 +92,29 @@ def main(argv=None) -> None:
         from radiocore_tpu.kernels.extract_pallas import extract_rows_pallas
         return extract_rows_pallas(s, a0, c, m, 1.0 / (s_fac * m))
 
+    def _fused_demod_variant(s):
+        # One stage FURTHER: extraction + FM quadrature demod in the
+        # same pass (station IQ never touches HBM; output is f32 quad).
+        # Not extraction-equivalent — compare as "front-end cost".
+        from radiocore_tpu.kernels.extract_demod_pallas import (
+            extract_demod_rows_pallas)
+        return extract_demod_rows_pallas(s, a0, c, m)
+
+    def _fused_spec_variant(s):
+        # Furthest: extraction + demod + forward transform; output is
+        # each station's composite spectrum (the fast-WBFM tail input).
+        from radiocore_tpu.kernels.extract_demod_pallas import (
+            extract_demod_spec_rows_pallas)
+        return extract_demod_spec_rows_pallas(s, a0, c, m)
+
     variants = {
         "reorder": lambda s: reorder_only(s),
         "native": lambda s: jnp.fft.ifft(reorder_only(s) / s_fac),
         "fourstep": lambda s: _fft.ifft_decomposed(reorder_only(s) / s_fac),
         "pallas": _pallas_variant,
         "fused": _fused_variant,
+        "fused_demod": _fused_demod_variant,
+        "fused_spec": _fused_spec_variant,
         "full": lambda s: extract_full(s),
     }
 
