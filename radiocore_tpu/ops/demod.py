@@ -13,25 +13,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def quadrature_demod_planar(xr: jnp.ndarray, xi: jnp.ndarray,
-                            gain: float | None = None) -> jnp.ndarray:
-    """:func:`quadrature_demod` from planar real/imag f32 planes.
-
-    Planar-pipeline form (the Pallas FFT kernels speak planar f32 —
-    kernels/fft_pallas.py); avoids materializing an interleaved c64
-    station array between extraction and demod. Bit-identical math:
-    ``angle(x[n]·conj(x[n−1])) = atan2(im, re)`` of the planar product.
-    """
-    dr = xr[..., 1:] * xr[..., :-1] + xi[..., 1:] * xi[..., :-1]
-    di = xi[..., 1:] * xr[..., :-1] - xr[..., 1:] * xi[..., :-1]
-    ph = jnp.arctan2(di, dr)
-    if gain is None:
-        gain = 1.0 / jnp.pi
-    ph = ph * gain
-    pad = [(0, 0)] * (ph.ndim - 1) + [(1, 0)]
-    return jnp.pad(ph, pad)
-
-
 def quadrature_demod(iq: jnp.ndarray, gain: float | None = None) -> jnp.ndarray:
     """Demodulate FM from complex baseband along the last axis.
 

@@ -66,14 +66,3 @@ def test_deemphasis_streaming_matches_scipy():
         outs_ref.append(yr)
     np.testing.assert_allclose(np.concatenate(outs_ours),
                                np.concatenate(outs_ref), atol=1e-5)
-
-
-def test_quadrature_demod_planar_matches_complex():
-    from radiocore_tpu.ops.demod import quadrature_demod_planar
-    rng = np.random.default_rng(31)
-    iq = (rng.standard_normal((4, 4096))
-          + 1j * rng.standard_normal((4, 4096))).astype(np.complex64)
-    want = np.asarray(quadrature_demod(iq))
-    got = np.asarray(quadrature_demod_planar(
-        np.asarray(iq.real), np.asarray(iq.imag)))
-    np.testing.assert_allclose(got, want, atol=1e-6)
