@@ -193,7 +193,8 @@ def _extract_demod_call(xr3, xi3, c: int, m: int, n: int, r0: int,
     )(xr3, xi3, xr3, xi3, *consts)[0]
 
 
-def _extract_demod_spec_kernel(*refs, sizes, m, inv_n, s_norm, gain):
+def _extract_demod_spec_kernel(*refs, sizes, m, inv_n, s_norm, gain,
+                               keep_rows):
     """Extraction + demod + FORWARD transform: the composite spectrum
     ``rfft(quad)``'s full complex form leaves the kernel; the quad time
     series never touches HBM either.
@@ -263,15 +264,19 @@ def _extract_demod_spec_kernel(*refs, sizes, m, inv_n, s_norm, gain):
     # the dead matmuls ride the MXU, which is not the bottleneck here.
     qv = quad_ref[...]
     tiles_s = _dft_row_2d(qv, jnp.zeros_like(qv), dft_f, -1.0, m)
+    # Bin s = v·BA + qA + p: keeping bins < keep_rows·BA keeps the first
+    # keep_rows v-rows of every tile (the tail only reads low bins —
+    # writing the rest would be wasted HBM traffic).
     for q, (vr, vi) in enumerate(tiles_s):
-        or_ref[0, :, q * a_n:(q + 1) * a_n] = vr
-        oi_ref[0, :, q * a_n:(q + 1) * a_n] = vi
+        or_ref[0, :, q * a_n:(q + 1) * a_n] = vr[:keep_rows]
+        oi_ref[0, :, q * a_n:(q + 1) * a_n] = vi[:keep_rows]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("c", "m", "n", "r0", "s_norm", "gain"))
+                   static_argnames=("c", "m", "n", "r0", "s_norm", "gain",
+                                    "keep_rows"))
 def _extract_demod_spec_call(xr3, xi3, c: int, m: int, n: int, r0: int,
-                             s_norm: float, gain: float):
+                             s_norm: float, gain: float, keep_rows: int):
     a_n, b_n, c_n = _digits(m)
     c2 = n // m
     sizes = tuple(plan_sizes(m))
@@ -282,7 +287,8 @@ def _extract_demod_spec_call(xr3, xi3, c: int, m: int, n: int, r0: int,
             consts.extend([jnp.asarray(dr), jnp.asarray(di)])
 
     flops = 3 * _row_flops(m) * c + 8 * m * c
-    bytes_acc = 4 * ((2 + 2) * c * m + 2 * sum(2 * s * s for s in sizes))
+    bytes_acc = int(4 * ((2 + 2 * keep_rows / c_n) * c * m
+                         + 2 * sum(2 * s * s for s in sizes)))
     trans = c * m * (3 * (1 if b_n == 1 else 2) * 2)
 
     row = pl.BlockSpec((1, a_n, b_n * c_n),
@@ -295,16 +301,19 @@ def _extract_demod_spec_call(xr3, xi3, c: int, m: int, n: int, r0: int,
             lambda nd, *_: (0,) * nd, cst.ndim), memory_space=pltpu.VMEM)
         for cst in consts
     ]
-    out = pl.BlockSpec((1, c_n, b_n * a_n), lambda i: (i, 0, 0),
+    out = pl.BlockSpec((1, keep_rows, b_n * a_n), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_extract_demod_spec_kernel, sizes=sizes, m=m,
-                          inv_n=1.0 / n, s_norm=s_norm, gain=gain),
+                          inv_n=1.0 / n, s_norm=s_norm, gain=gain,
+                          keep_rows=keep_rows),
         grid=(c,),
         in_specs=[row, row, nxt, nxt] + const_specs,
         out_specs=[out, out],
-        out_shape=[jax.ShapeDtypeStruct((c, c_n, b_n * a_n), jnp.float32),
-                   jax.ShapeDtypeStruct((c, c_n, b_n * a_n), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((c, keep_rows, b_n * a_n),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((c, keep_rows, b_n * a_n),
+                                        jnp.float32)],
         scratch_shapes=[pltpu.VMEM((c_n, b_n * a_n), jnp.float32)],
         cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=bytes_acc,
                                       transcendentals=trans),
@@ -324,16 +333,18 @@ def extract_demod_spec_ok(n: int, m: int, c: int) -> bool:
 
 def extract_demod_spec_rows_pallas(spectrum: jnp.ndarray, a0: int,
                                    c: int, m: int,
-                                   gain: float | None = None
+                                   gain: float | None = None,
+                                   keep_bins: int | None = None
                                    ) -> jnp.ndarray:
     """Extraction + FM demod + composite spectrum, one kernel pass.
 
-    ``spectrum (n,) c64 → q_spec (c, m) c64`` where
-    ``q_spec ≡ fft(quadrature_demod(extracted_iq))`` (real input ⇒ the
-    first ``m//2 + 1`` bins are ``rfft(quad)``; the rest are their
-    conjugate mirror). Fast-mode WBFM's ``fast_spec`` tail consumes
-    ``q_spec[:, :m//2+1]`` directly — the per-station time domain never
-    exists in HBM at all.
+    ``spectrum (n,) c64 → q_spec (c, K) c64`` where
+    ``q_spec ≡ fft(quadrature_demod(extracted_iq))[:, :K]`` (real input
+    ⇒ bins below ``m//2 + 1`` are ``rfft(quad)``). ``keep_bins`` bounds
+    the bins actually WRITTEN (rounded up to the kernel's 8-row tile
+    granularity; ``K ≥ keep_bins``): the fast-WBFM tail only reads the
+    low ~quarter of the spectrum, and the rest would be pure wasted HBM
+    write traffic. Default: the full ``m`` bins.
     """
     n = int(spectrum.shape[-1])
     if spectrum.ndim != 1:
@@ -343,6 +354,14 @@ def extract_demod_spec_rows_pallas(spectrum: jnp.ndarray, a0: int,
                          f"plan n={n} m={m} c={c}")
     if gain is None:
         gain = 1.0 / np.pi
+    a_n, b_n, c_n = _digits(m)
+    ba = b_n * a_n
+    if keep_bins is None:
+        keep_rows = c_n
+    else:
+        if not (0 < keep_bins <= m):
+            raise ValueError(f"keep_bins {keep_bins} out of (0, {m}]")
+        keep_rows = min(c_n, ((-(-int(keep_bins) // ba) + 7) // 8) * 8)
     xr = jnp.real(spectrum).astype(jnp.float32)
     xi = jnp.imag(spectrum).astype(jnp.float32)
     if a0 % m:
@@ -351,13 +370,13 @@ def extract_demod_spec_rows_pallas(spectrum: jnp.ndarray, a0: int,
         r0 = 0
     else:
         r0 = a0 // m
-    a_n, b_n, c_n = _digits(m)
     xr3 = xr.reshape(n // m, a_n, b_n * c_n)
     xi3 = xi.reshape(n // m, a_n, b_n * c_n)
     s_norm = 1.0 / ((n / m) * m)
     sr, si = _extract_demod_spec_call(xr3, xi3, c, m, n, r0,
-                                      float(s_norm), float(gain))
-    return jax.lax.complex(sr, si).reshape(c, m)
+                                      float(s_norm), float(gain),
+                                      int(keep_rows))
+    return jax.lax.complex(sr, si).reshape(c, keep_rows * ba)
 
 
 def extract_demod_ok(n: int, m: int, c: int) -> bool:

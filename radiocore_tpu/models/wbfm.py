@@ -262,6 +262,11 @@ def make_wbfm_step(input_size: int, output_size: int,
             new_state.update(extra)
         return audio.astype(jnp.float32), new_state
 
+    # Highest q_spec bin the fast tail ever reads — lets the fused
+    # spectrum kernel skip writing the rest (pure HBM waste).
+    step_fast_spec.needed_bins = int(max(s1, e2, m2) if use_env
+                                     else n_rfft)
+
     if mode == "exact":
         return step_exact
     if mode == "fast":

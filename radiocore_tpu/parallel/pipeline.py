@@ -177,19 +177,23 @@ def make_multi_station_step(
                    if _xd == "spec"
                    else extract_demod_ok(int(n_band), sc, n_stations)))
         if ok:
-            tail = jax.vmap(make_wbfm_step(station_chunk, audio_chunk,
-                                           deemphasis, mode="fast_spec"))
+            tail_fn = make_wbfm_step(station_chunk, audio_chunk,
+                                     deemphasis, mode="fast_spec")
+            tail = jax.vmap(tail_fn)
             m2 = sc // 2 + 1
+            nb = int(getattr(tail_fn, "needed_bins", m2))
 
             if _xd == "spec":
                 # Spectrum-output mega-kernel: band spectrum →
                 # composite spectra directly; neither the station IQ
-                # nor the quad time series ever exists in HBM.
+                # nor the quad time series ever exists in HBM, and only
+                # the bins the tail reads are written.
                 @jax.jit
                 def step(band_iq: jnp.ndarray, state: dict):
                     qs = extract_demod_spec_rows_pallas(
-                        band_fft(band_iq), a0, n_stations, sc)
-                    return tail(qs[:, :m2], state)
+                        band_fft(band_iq), a0, n_stations, sc,
+                        keep_bins=nb)
+                    return tail(qs[:, :nb], state)
             else:
                 @jax.jit
                 def step(band_iq: jnp.ndarray, state: dict):

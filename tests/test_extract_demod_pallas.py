@@ -146,3 +146,23 @@ def test_fused_demod_spec_matches_two_step():
     # Forward-DFT output error ~ sqrt(m)*eps on O(1) inputs.
     scale = np.max(np.abs(want))
     np.testing.assert_allclose(got / scale, want / scale, atol=3e-5)
+
+
+def test_fused_demod_spec_keep_bins():
+    """keep_bins writes only the low rows; values must match the full
+    kernel's prefix."""
+    from radiocore_tpu.ops import channelize
+    from radiocore_tpu.kernels.extract_demod_pallas import (
+        extract_demod_spec_rows_pallas)
+
+    c, m, n = 4, 16_384, 65_536
+    shifts = tuple(int(-o) for o in _uniform_plan(c, m, n))
+    spec = jnp.asarray(_spectrum(n, seed=17))
+    starts, *_ = channelize.extraction_plan(n, shifts, m)
+
+    full = np.asarray(extract_demod_spec_rows_pallas(spec, starts[0], c, m))
+    kb = m // 4 + 100
+    part = np.asarray(extract_demod_spec_rows_pallas(spec, starts[0], c, m,
+                                                     keep_bins=kb))
+    assert part.shape[1] >= kb and part.shape[1] < m
+    np.testing.assert_allclose(part, full[:, :part.shape[1]], atol=0)
