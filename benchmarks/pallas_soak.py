@@ -249,6 +249,14 @@ def _fft_soak(args) -> int:
         return mk(key)
 
     # ---- correctness vs the native lowering, transfer-free ---------------
+    # Kernel and native reference run as SEPARATE jitted programs, diffed
+    # by a third: one program holding the Pallas kernel and the XLA FFT
+    # custom call as INDEPENDENT ops crashes the TPU worker ("kernel
+    # fault") once the kernel's grid is large enough (measured r4:
+    # (4096, 4096) grid=512 crashes deterministically, grid ≤ 256 and
+    # every DEPENDENT mix pallas(fft(x)) fine — benchmarks/fft_bisect.py).
+    # Product pipelines chain the kernels (always dependent), so only
+    # this compare-in-one-program protocol was affected.
     cases = ([(8, 4096, "fwd"), (4, 65_536, "fwd")] if args.quick else
              [(64, 1 << 18, "fwd"), (64, 1 << 18, "inv"),
               (4096, 4096, "fwd"), (1, 1 << 24, "large")])
@@ -256,19 +264,26 @@ def _fft_soak(args) -> int:
         x = make_x(batch, n, jax.random.key(batch + n))
 
         @jax.jit
-        def diff(x, _n=n, _kind=kind):
+        def kern(x, _n=n, _kind=kind):
             if _kind == "inv":
-                a = _fp.fft_pow2_pallas(x, sign=+1.0) / _n
-                b = jnp.fft.ifft(x, axis=-1)
-            elif _kind == "large":
-                a = _fp.fft_large_pow2_pallas(x[0])
-                b = jnp.fft.fft(x[0])
-            else:
-                a = _fp.fft_pow2_pallas(x)
-                b = jnp.fft.fft(x, axis=-1)
+                return _fp.fft_pow2_pallas(x, sign=+1.0) / _n
+            if _kind == "large":
+                return _fp.fft_large_pow2_pallas(x[0])
+            return _fp.fft_pow2_pallas(x)
+
+        @jax.jit
+        def native(x, _kind=kind):
+            if _kind == "inv":
+                return jnp.fft.ifft(x, axis=-1)
+            if _kind == "large":
+                return jnp.fft.fft(x[0])
+            return jnp.fft.fft(x, axis=-1)
+
+        @jax.jit
+        def metrics(a, b):
             return jnp.max(jnp.abs(a - b)), jnp.max(jnp.abs(b))
 
-        err, ref = (float(s) for s in diff(x))
+        err, ref = (float(s) for s in metrics(kern(x), native(x)))
         rel = err / max(ref, 1e-30)
         good = rel < 1e-4
         ok &= good
