@@ -152,26 +152,49 @@ def main(argv=None) -> None:
     def fetch(c):
         return float(to_host(c))
 
-    @jax.jit
-    def varied(b, h, c):
-        ch, h2 = step(b * (1.0 + c * 1e-3), h)
-        chk = jnp.mean(jnp.abs(ch.ravel()[::4096])) \
-            + jnp.real(ch.ravel()[0]) * 1e-3
-        return ch, h2, chk
+    # DEVICE-LOOP protocol (the one fetch pattern that has proven
+    # relay-robust — pallas_soak device loops): k chained steps inside
+    # ONE jitted lax.fori_loop; marginal per-step time from k=2 vs
+    # k=10 walls. Every per-call wall-clock variant of this benchmark
+    # (r2–r4, 10+ attempts) died at its first scalar fetch with
+    # UNIMPLEMENTED — including with the channel matrix reduced on
+    # device and a trivial-program fetch hop — while fori_loop programs
+    # fetched fine in the same windows. Honesty is preserved inside the
+    # loop: each iteration's input is perturbed by the PREVIOUS
+    # iteration's full-channel reduction (chained data dependency; no
+    # dedup, no elision), and the streaming history threads through.
+    # Marginal time excludes per-call relay dispatch — for a
+    # throughput metric that is the right denominator (and the fixed
+    # cost cancels in t10 − t2).
+    import functools as _ft
 
-    ch, h, chk = varied(bands[-1], hist, jnp.float32(0))
-    fetch(chk)  # compile + hard drain
+    @_ft.partial(jax.jit, static_argnames="k")
+    def run_k(b, h, c, k):
+        def body(i, carry):
+            h, c = carry
+            ch, h = step(b * (1.0 + c * 1e-3 + i * 1e-4), h)
+            c = jnp.mean(jnp.abs(ch.ravel()[::4096])) \
+                + jnp.real(ch.ravel()[0]) * 1e-3
+            return (h, c)
+        h, c = jax.lax.fori_loop(0, k, body, (h, c))
+        return h, c
 
-    epoch_means = []
-    for _ in range(3):
-        fetch(chk)
-        t0 = time.perf_counter()
-        for i in range(iters):
-            ch, h, chk = varied(bands[i], h, chk)
-        fetch(chk)
-        epoch_means.append((time.perf_counter() - t0) / iters)
+    def time_k(k):
+        h, chk = run_k(bands[-1], hist, jnp.float32(0), k)
+        fetch(chk)  # compile + hard drain
+        best = float("inf")
+        for _ in range(2):
+            fetch(chk)
+            t0 = time.perf_counter()
+            for i in range(3):
+                h, chk = run_k(bands[i % len(bands)], h, chk, k)
+            fetch(chk)
+            best = min(best, (time.perf_counter() - t0) / 3)
+        return best
 
-    dt = min(epoch_means)
+    t2, t10 = time_k(2), time_k(10)
+    dt = (t10 - t2) / 8
+    epoch_means = [dt]
     suspect = False
 
     # HBM speed-of-light fraction (BASELINE.md: "FIR + FFT kernel
@@ -209,7 +232,13 @@ def main(argv=None) -> None:
         "channelizer": args.channelizer,
         "time_shards": args.time_shards,
         "min_hbm_gbytes_per_s": round(min_bytes / dt / 1e9, 1),
-        "epoch_ms": [round(d * 1e3, 2) for d in epoch_means],
+        "wall_ms_k2": round(t2 * 1e3, 2),
+        "wall_ms_k10": round(t10 * 1e3, 2),
+        "protocol": "device-loop marginal (t10-t2)/8: k chained steps "
+                    "in one fori_loop, per-iteration input perturbed by "
+                    "the previous iteration's full-channel reduction; "
+                    "per-call wall variants wedge this program's D2H "
+                    "(r2-r4)",
     }
     if peak:
         result["hbm_speed_of_light_fraction"] = round(
