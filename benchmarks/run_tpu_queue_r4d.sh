@@ -57,6 +57,8 @@ run() {
 # per-call wall form wedged its process's D2H on all 4 wave-1 tries).
 run wb_fft2 2400 WIDEBAND_fft_r04.json \
   python benchmarks/wideband.py --channelizer fft
+run wb_pfb2 2400 WIDEBAND_pfb_r04.json \
+  python benchmarks/wideband.py --channelizer pfb
 
 # New-default (fused extraction) headline + station ladder.
 run bench_newdef 1200 BENCH_newdefault_r04.json python bench.py

@@ -133,37 +133,22 @@ def main(argv=None) -> int:
         jax.jit(f).lower(x).compile()
 
     def compile_wideband(chz):
-        import numpy as np
-        from scipy import signal as sig
-        from radiocore_tpu.ops.pfb import pfb_taps, pfb_init, pfb_channelize
-        from radiocore_tpu.ops.fir import fir_overlap_save
-        from radiocore_tpu.ops import fft as _fft
-        from radiocore_tpu.ops.channelize import make_extractor
-        mm = 64
-        nn = 8_388_608
-        taps = pfb_taps(mm, 8)
-        fir = sig.firwin(129, 0.45)
-        if chz == "pfb":
-            hist0 = pfb_init(mm, 8)
-
-            def stp(band, h):
-                band = fir_overlap_save(band, fir)
-                return pfb_channelize(band, taps, mm, history=h)
-        else:
-            chunk = nn // mm
-            grid = [((k * chunk + nn // 2) % nn) - nn // 2
-                    for k in range(mm)]
-            extract = make_extractor(nn, tuple(-g for g in grid), chunk)
-            hist0 = pfb_init(mm, 8)
-
-            def stp(band, h):
-                band = fir_overlap_save(band, fir)
-                ch = extract(_fft.fft(band))
-                return jnp.swapaxes(ch, -1, -2), h
+        # AOT-compile the EXACT device-loop programs the benchmark runs
+        # (shared construction: benchmarks/wideband.py build_single), so
+        # the real run starts cache-warm — long in-process compiles
+        # correlate with first-fetch D2H deaths (r3/r4 queue logs).
+        import sys as _sys
+        from pathlib import Path
+        _sys.path.insert(0, str(Path(__file__).resolve().parent))
+        import wideband as _wb
+        nn = _wb.plan_n(61.44e6, 0.25, 64, chz)
+        run_k, hist0 = _wb.build_single(chz, nn, 64)
         band = jax.ShapeDtypeStruct((nn,), jnp.complex64)
         h = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), hist0)
-        jax.jit(stp).lower(band, h).compile()
+        c0 = jax.ShapeDtypeStruct((), jnp.float32)
+        for k in (2, 10):
+            run_k.lower(band, h, c0, k=k).compile()
 
     variants = {
         "fft_kernel": compile_fft_kernel,

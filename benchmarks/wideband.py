@@ -21,6 +21,96 @@ import time
 import numpy as np
 
 
+def plan_n(band_rate: float, seconds: float, channels: int,
+           channelizer: str) -> int:
+    """Chunk length for the config: pow2-snapped for the fft form."""
+    n = int(band_rate * seconds)
+    if channelizer == "fft":
+        # TPU-native rate plan: snap the chunk to a power of two so the
+        # band FFT lowers natively (bench.py does the same; the planner
+        # handles arbitrary n at ~6× the cost). A pow2 n also satisfies
+        # the sharded path's n % D² == 0 requirement for pow2 D.
+        p = 1
+        while p * 2 <= n:
+            p *= 2
+        n = p
+    return n - n % channels
+
+
+def wrap_run_k(step):
+    """k chained steps in ONE jitted lax.fori_loop (device-loop
+    protocol). Each iteration's input is perturbed by the PREVIOUS
+    iteration's full-channel reduction — a chained data dependency the
+    relay can neither dedupe nor elide — and the streaming history
+    threads through the loop carry."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames="k")
+    def run_k(b, h, c, k):
+        def body(i, carry):
+            h, c = carry
+            ch, h = step(b * (1.0 + c * 1e-3 + i * 1e-4), h)
+            c = jnp.mean(jnp.abs(ch.ravel()[::4096])) \
+                + jnp.real(ch.ravel()[0]) * 1e-3
+            return (h, c)
+        h, c = jax.lax.fori_loop(0, k, body, (h, c))
+        return h, c
+
+    return run_k
+
+
+def build_single(channelizer: str, n: int, m: int,
+                 taps_per_branch: int = 8, fir_taps: int = 129):
+    """(run_k, initial history) for the single-chip config-4 step.
+
+    Shared by the benchmark and benchmarks/smoke_compile.py so the
+    compile-only smoke stage AOT-warms the EXACT programs the benchmark
+    later runs (long in-process compiles correlate with first-fetch
+    D2H deaths on the relay — r3/r4 queue logs).
+    """
+    import jax
+    import jax.numpy as jnp
+    from scipy import signal as sig
+    from radiocore_tpu.ops.pfb import pfb_taps, pfb_init, pfb_channelize
+    from radiocore_tpu.ops.fir import fir_causal
+
+    taps = pfb_taps(m, taps_per_branch)
+    fir = sig.firwin(fir_taps, 0.45).astype(np.float32)
+    hist = pfb_init(m, taps_per_branch)
+
+    def band_fir(band):
+        # Band-rate FIR on planar f32 through fir_causal's default
+        # impl — the Pallas MXU kernel on TPU (the config-4 "FIR kernel
+        # at ~HBM bandwidth" obligation; 5040 MS/s soaked). The complex
+        # path through the FFT overlap-save form is avoided deliberately:
+        # programs containing fir_overlap_save at the band size wedge
+        # their process's D2H on the relay (r2-r4, every attempt, any
+        # timing protocol — bench_logs/tpu_queue_r4.log).
+        planes = jnp.stack([jnp.real(band), jnp.imag(band)])
+        f = fir_causal(planes, fir)
+        return jax.lax.complex(f[0], f[1])
+
+    if channelizer == "pfb":
+        def step(band, h):
+            return pfb_channelize(band_fir(band), taps, m, history=h)
+    else:
+        # FFT+slice channelizer (bench.py's form): band FFT → static
+        # per-channel slices → batched IFFT. Channel grid = PFB grid.
+        from radiocore_tpu.ops import fft as _fft
+        from radiocore_tpu.ops.channelize import make_extractor
+        chunk = n // m
+        grid = [((k * chunk + n // 2) % n) - n // 2 for k in range(m)]
+        extract = make_extractor(n, tuple(-g for g in grid), chunk)
+
+        def step(band, h):
+            ch = extract(_fft.fft(band_fir(band)))  # (m, chunk)
+            return jnp.swapaxes(ch, -1, -2), h      # (chunk, m) like PFB
+
+    return wrap_run_k(step), hist
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--band-rate", type=float, default=61.44e6)
@@ -44,17 +134,7 @@ def main(argv=None) -> None:
     from radiocore_tpu.ops.fir import fir_overlap_save
 
     m = args.channels
-    n = int(args.band_rate * args.seconds)
-    if args.channelizer == "fft":
-        # TPU-native rate plan: snap the chunk to a power of two so the
-        # band FFT lowers natively (bench.py does the same; the planner
-        # handles arbitrary n at ~6× the cost). A pow2 n also satisfies
-        # the sharded path's n % D² == 0 requirement for pow2 D.
-        p = 1
-        while p * 2 <= n:
-            p *= 2
-        n = p
-    n -= n % m
+    n = plan_n(args.band_rate, args.seconds, m, args.channelizer)
     taps = pfb_taps(m, args.taps_per_branch)
     fir = sig.firwin(args.fir_taps, 0.45)
 
@@ -64,6 +144,7 @@ def main(argv=None) -> None:
         return jax.lax.complex(planes[0], planes[1])
 
     hist = pfb_init(m, args.taps_per_branch)
+    run_k = None
 
     if args.time_shards > 0 and args.channelizer == "fft":
         # Fully distributed config-4 front-end: halo-exchange overlap-
@@ -111,25 +192,11 @@ def main(argv=None) -> None:
         step = jax.jit(jax.shard_map(
             local, mesh=mesh, in_specs=(P(TIME), P()),
             out_specs=(P(TIME, None), P())))
-    elif args.channelizer == "pfb":
-        @jax.jit
-        def step(band, h):
-            band = fir_overlap_save(band, fir)
-            return pfb_channelize(band, taps, m, history=h)
     else:
-        # FFT+slice channelizer (bench.py's form): band FFT → static
-        # per-channel slices → batched IFFT. Channel grid = PFB grid.
-        from radiocore_tpu.ops import fft as _fft
-        from radiocore_tpu.ops.channelize import make_extractor
-        chunk = n // m
-        grid = [((k * chunk + n // 2) % n) - n // 2 for k in range(m)]
-        extract = make_extractor(n, tuple(-g for g in grid), chunk)
-
-        @jax.jit
-        def step(band, h):
-            band = fir_overlap_save(band, fir)
-            ch = extract(_fft.fft(band))          # (m, chunk)
-            return jnp.swapaxes(ch, -1, -2), h    # (chunk, m) like PFB
+        run_k, hist = build_single(args.channelizer, n, m,
+                                   args.taps_per_branch, args.fir_taps)
+    if run_k is None:
+        run_k = wrap_run_k(step)
 
     # Honest-timing harness (bench.py protocol; evidence in
     # benchmarks/diag_relay.py): (a) a FRESH random band per call —
@@ -159,26 +226,9 @@ def main(argv=None) -> None:
     # (r2–r4, 10+ attempts) died at its first scalar fetch with
     # UNIMPLEMENTED — including with the channel matrix reduced on
     # device and a trivial-program fetch hop — while fori_loop programs
-    # fetched fine in the same windows. Honesty is preserved inside the
-    # loop: each iteration's input is perturbed by the PREVIOUS
-    # iteration's full-channel reduction (chained data dependency; no
-    # dedup, no elision), and the streaming history threads through.
-    # Marginal time excludes per-call relay dispatch — for a
-    # throughput metric that is the right denominator (and the fixed
-    # cost cancels in t10 − t2).
-    import functools as _ft
-
-    @_ft.partial(jax.jit, static_argnames="k")
-    def run_k(b, h, c, k):
-        def body(i, carry):
-            h, c = carry
-            ch, h = step(b * (1.0 + c * 1e-3 + i * 1e-4), h)
-            c = jnp.mean(jnp.abs(ch.ravel()[::4096])) \
-                + jnp.real(ch.ravel()[0]) * 1e-3
-            return (h, c)
-        h, c = jax.lax.fori_loop(0, k, body, (h, c))
-        return h, c
-
+    # fetched fine in the same windows. Marginal time excludes per-call
+    # relay dispatch — for a throughput metric that is the right
+    # denominator (and the fixed cost cancels in t10 − t2).
     def time_k(k):
         h, chk = run_k(bands[-1], hist, jnp.float32(0), k)
         fetch(chk)  # compile + hard drain
