@@ -92,8 +92,12 @@ def make_extractor(n: int, shifts: Tuple[int, ...],
     # VMEM kernel, kernels/fft_pallas.py — one HBM read+write),
     # 'fused' (slice+window+Nyquist-fix+IFFT in ONE kernel pass,
     # kernels/extract_pallas.py — skips the XLA reorder entirely), or
-    # 'auto'. The env knob exists for hardware A/B
-    # (benchmarks/extract_profile.py).
+    # 'auto': the fused kernel ON TPU when the plan qualifies (r4
+    # hardware A/B: extraction 13.9 → 7.8 ms, pipeline step 24.7 →
+    # 20.6 ms at 64×262144 — EXTRACT_PROFILE_r04.json /
+    # BENCH_fused_r04.json; golden-parity tests pin the math), else the
+    # native custom call. Set RADIOCORE_TPU_EXTRACT_IFFT=native to opt
+    # out.
     import os
     _impl = os.environ.get("RADIOCORE_TPU_EXTRACT_IFFT", "auto")
 
@@ -122,7 +126,16 @@ def make_extractor(n: int, shifts: Tuple[int, ...],
         return _fft.ifft(y_all / s_fac)
 
     def _fused_ok(spectrum: jnp.ndarray) -> bool:
-        if _impl != "fused" or m % 2 or spectrum.ndim != 1:
+        if m % 2 or spectrum.ndim != 1:
+            return False
+        if _impl == "auto":
+            # TPU default since r4 (the A/B evidence above). CPU stays
+            # native: the kernel's interpret mode is orders slower and
+            # parity is already pinned by the explicit opt-in tests.
+            from radiocore_tpu.runtime.platform import has_tpu
+            if not has_tpu():
+                return False
+        elif _impl != "fused":
             return False
         from radiocore_tpu.kernels.extract_pallas import extract_ok
         return extract_ok(n, m, c)
