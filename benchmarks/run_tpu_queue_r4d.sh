@@ -60,15 +60,17 @@ run wb_fft2 2400 WIDEBAND_fft_r04.json \
 run wb_pfb2 2400 WIDEBAND_pfb_r04.json \
   python benchmarks/wideband.py --channelizer pfb
 
-# New-default (fused extraction) headline + station ladder.
+# New-default (fused extraction) 64-station headline. (96/128 already
+# ran post-flip in wave 1: BENCH_96/128_r04.json ARE new-default rows.)
 run bench_newdef 1200 BENCH_newdefault_r04.json python bench.py
-run bench_newdef_96 1200 BENCH_newdefault96_r04.json \
-  env RADIOCORE_TPU_BENCH_STATIONS=96 python bench.py
-run bench_newdef_128 1200 BENCH_newdefault128_r04.json \
-  env RADIOCORE_TPU_BENCH_STATIONS=128 python bench.py
 # Band FFT through the large Pallas kernel ONLY (stations stay native):
 # FFT_PALLAS_MIN above the station rfft half-size (2^17) but at the
 # band size 2^24.
 run bench_bandkernel 1200 BENCH_bandkernel_r04.json \
   env RADIOCORE_TPU_FFT_PALLAS_MIN=16777216 python bench.py
+# All-pallas retry: the 22:04 "device wedge" coincided with the relay
+# degradation that later killed trivial probes; prfft (same knob) ran
+# clean at 01:00. One attempt, tight timeout.
+run bench_allpallas2 900 BENCH_allpallas2_r04.json \
+  env RADIOCORE_TPU_FFT_PALLAS_MIN=65536 python bench.py
 echo "=== queue_r4d done $(date +%T) ===" >> "$LOG"
