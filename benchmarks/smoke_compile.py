@@ -132,15 +132,25 @@ def main(argv=None) -> int:
             return fir_causal_pallas(v, taps)
         jax.jit(f).lower(x).compile()
 
+    def _load_bench_module(name):
+        # Explicit-path import: a bare ``sys.path.insert + import`` can
+        # shadow same-named modules and permanently mutates sys.path
+        # (ADVICE r4).
+        import importlib.util
+        from pathlib import Path
+        path = Path(__file__).resolve().parent / f"{name}.py"
+        spec = importlib.util.spec_from_file_location(
+            f"_smoke_{name}", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
     def compile_wideband(chz):
         # AOT-compile the EXACT device-loop programs the benchmark runs
         # (shared construction: benchmarks/wideband.py build_single), so
         # the real run starts cache-warm — long in-process compiles
         # correlate with first-fetch D2H deaths (r3/r4 queue logs).
-        import sys as _sys
-        from pathlib import Path
-        _sys.path.insert(0, str(Path(__file__).resolve().parent))
-        import wideband as _wb
+        _wb = _load_bench_module("wideband")
         nn = _wb.plan_n(61.44e6, 0.25, 64, chz)
         run_k, hist0 = _wb.build_single(chz, nn, 64)
         band = jax.ShapeDtypeStruct((nn,), jnp.complex64)
@@ -149,6 +159,26 @@ def main(argv=None) -> int:
         c0 = jax.ShapeDtypeStruct((), jnp.float32)
         for k in (2, 10):
             run_k.lower(band, h, c0, k=k).compile()
+
+    def compile_wideband_bench(chz, fir):
+        # bench.py-protocol config-4 harness (wideband_bench.py): warm
+        # the per-call chained step exactly as the benchmark builds it.
+        _wb = _load_bench_module("wideband_bench")
+        nn = _wb.plan_n(61.44e6, 0.25, 64, chz)
+        step, hist0 = _wb.build_step(chz, fir, nn, 64)
+
+        def chained(band, h, c0):
+            import jax.numpy as _jnp
+            ch, h2 = step(band * (1.0 + c0 * 1e-3), h)
+            chk = _jnp.mean(_jnp.abs(ch.ravel()[::4096])) \
+                + _jnp.real(ch.ravel()[0]) * 1e-3
+            return ch, h2, chk
+
+        band = jax.ShapeDtypeStruct((nn,), jnp.complex64)
+        h = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), hist0)
+        c0 = jax.ShapeDtypeStruct((), jnp.float32)
+        jax.jit(chained).lower(band, h, c0).compile()
 
     variants = {
         "fft_kernel": compile_fft_kernel,
@@ -165,6 +195,9 @@ def main(argv=None) -> int:
              "RADIOCORE_TPU_FFT_PALLAS_MIN": "65536"}),
         "wideband_fft": lambda: compile_wideband("fft"),
         "wideband_pfb": lambda: compile_wideband("pfb"),
+        "wb_bench_fft": lambda: compile_wideband_bench("fft", "pallas"),
+        "wb_bench_nofir": lambda: compile_wideband_bench("fft", "none"),
+        "wb_bench_pfb": lambda: compile_wideband_bench("pfb", "pallas"),
     }
     if args.only:
         keep = set(args.only.split(","))

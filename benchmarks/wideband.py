@@ -236,16 +236,32 @@ def main(argv=None) -> None:
         for _ in range(2):
             fetch(chk)
             t0 = time.perf_counter()
-            for i in range(3):
+            for i in range(iters):
                 h, chk = run_k(bands[i % len(bands)], h, chk, k)
             fetch(chk)
-            best = min(best, (time.perf_counter() - t0) / 3)
+            best = min(best, (time.perf_counter() - t0) / iters)
         return best
 
     t2, t10 = time_k(2), time_k(10)
     dt = (t10 - t2) / 8
     epoch_means = [dt]
     suspect = False
+    if dt <= 0:
+        # Relay timing noise can make the k=10 wall no larger than the
+        # k=2 wall (each is best-of-2 over few calls); a non-positive
+        # marginal slope means the measurement failed — report the raw
+        # walls, null the derived throughput fields, and mark suspect
+        # rather than emitting negative/infinite Msps (ADVICE r4).
+        print(json.dumps({
+            "metric": "wideband_fir_pfb_msamples_per_s",
+            "value": None, "unit": "Msps", "suspect": True,
+            "channels": m, "channelizer": args.channelizer,
+            "time_shards": args.time_shards,
+            "wall_ms_k2": round(t2 * 1e3, 2),
+            "wall_ms_k10": round(t10 * 1e3, 2),
+            "error": "non-positive marginal slope (t10 <= t2)",
+        }))
+        return
 
     # HBM speed-of-light fraction (BASELINE.md: "FIR + FFT kernel
     # throughput ~HBM-bandwidth"). Minimum HBM traffic for the fused

@@ -167,13 +167,21 @@ def _split(n: int) -> Tuple[int, int]:
 
 # Pow2 sizes at or above this route to the Pallas whole-row MXU FFT
 # (kernels/fft_pallas.py) on accelerator backends: one HBM read+write
-# per transform instead of XLA's multi-pass custom call. Opt-in via
-# RADIOCORE_TPU_FFT_PALLAS_MIN until the hardware A/B lands
-# (benchmarks/fft_micro.py pallas_* cases); 0/unset disables.
+# per transform instead of XLA's multi-pass custom call (above MAX_ROW,
+# one XLA-level four-step whose rows use the kernel). DEFAULT since r5:
+# 2^24 — exactly the hardware-measured case (BENCH_bandkernel_r04.json:
+# 20.15 vs 21.48 ms/step with the band FFT and nothing else rerouted;
+# standalone FFT_SOAK_r04.json: 2^24 four-step 6.4 vs 9.7 ms native).
+# Smaller sizes stay native pending their own A/Bs (the r4 global
+# MIN=65536 flip also rerouted the demod's small transforms and wedged
+# once — BENCH_allpallas_r04.json). Override via env; 0 disables.
+_PALLAS_MIN_DEFAULT = 1 << 24
+
+
 def _pallas_min() -> int:
     raw = os.environ.get("RADIOCORE_TPU_FFT_PALLAS_MIN")
     if raw is None:
-        return 1 << 62
+        return _PALLAS_MIN_DEFAULT
     v = int(float(raw))
     return v if v > 0 else (1 << 62)
 

@@ -103,3 +103,43 @@ def test_fused_batched_input_falls_back(monkeypatch):
     channelize.make_extractor.cache_clear()
 
     np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_auto_routes_fused_on_tpu_native_on_cpu(monkeypatch):
+    """The unset-env 'auto' default selects the fused kernel iff the
+    platform probe says TPU (the shipped r4 default flip) — and the
+    fused result still matches the native path (ADVICE r4: the auto
+    routing itself had no regression test)."""
+    from radiocore_tpu.kernels import extract_pallas
+    from radiocore_tpu.ops import channelize
+    from radiocore_tpu.runtime import platform
+
+    c, m, n = 4, 512, 2048
+    shifts = tuple(int(-o) for o in _uniform_plan(c, m, n))
+    spec = jnp.asarray(_spectrum(n, seed=5))
+
+    monkeypatch.delenv("RADIOCORE_TPU_EXTRACT_IFFT", raising=False)
+    calls = []
+    real_kernel = extract_pallas.extract_rows_pallas
+
+    def recording_kernel(*a, **k):
+        calls.append(1)
+        return real_kernel(*a, **k)
+
+    monkeypatch.setattr(extract_pallas, "extract_rows_pallas",
+                        recording_kernel)
+
+    # auto + has_tpu()=False → native lowering, kernel never invoked.
+    monkeypatch.setattr(platform, "has_tpu", lambda: False)
+    channelize.make_extractor.cache_clear()
+    want = np.asarray(channelize.make_extractor(n, shifts, m)(spec))
+    assert not calls
+
+    # auto + has_tpu()=True → the fused kernel (interpret mode on CPU).
+    monkeypatch.setattr(platform, "has_tpu", lambda: True)
+    channelize.make_extractor.cache_clear()
+    got = np.asarray(channelize.make_extractor(n, shifts, m)(spec))
+    channelize.make_extractor.cache_clear()
+    assert calls, "auto on TPU must route through the fused kernel"
+
+    np.testing.assert_allclose(got, want, atol=2e-6)
