@@ -24,6 +24,11 @@ def main(argv=None) -> int:
     parser.add_argument("--sizes", type=int, nargs="+",
                         default=[22, 24, 25],
                         help="log2 of FFT sizes to probe")
+    parser.add_argument("--raw-sizes", type=int, nargs="*", default=[],
+                        help="absolute FFT sizes (for non-pow2 probes, "
+                             "e.g. the 96-station 24M band)")
+    parser.add_argument("--impls", default="native,fourstep",
+                        help="comma list of native,fourstep,mixed")
     parser.add_argument("--iters", type=int, default=6)
     args = parser.parse_args(argv)
 
@@ -37,8 +42,9 @@ def main(argv=None) -> int:
     print(json.dumps({"backend": str(dev)}), flush=True)
     peak = 819e9 if "v5" in getattr(dev, "device_kind", "") else None
 
-    for lg in args.sizes:
-        n = 1 << lg
+    sizes = [1 << lg for lg in args.sizes] + list(args.raw_sizes)
+    impls = args.impls.split(",")
+    for n in sizes:
 
         @jax.jit
         def make(key, _n=n):
@@ -48,14 +54,27 @@ def main(argv=None) -> int:
         xs = [make(jax.random.key(i)) for i in range(args.iters + 1)]
         jax.block_until_ready(xs)
 
-        for policy in ("native", "fourstep"):
-            _fft.set_policy(policy)
+        for policy in impls:
+            if policy != "mixed":
+                _fft.set_policy(policy)
             try:
-                @jax.jit
-                def f(x, c):
-                    y = _fft.fft(x * (1.0 + c * 1e-3))
-                    return jnp.mean(jnp.abs(y[::65536])) + \
-                        jnp.real(y[0]) * 1e-6
+                if policy == "mixed":
+                    # Pallas mixed-radix large FFT: a·2^k column DFT on
+                    # the MXU + pow2 VMEM kernel rows.
+                    from radiocore_tpu.kernels.fft_pallas import (
+                        fft_large_mixed_pallas)
+
+                    @jax.jit
+                    def f(x, c):
+                        y = fft_large_mixed_pallas(x * (1.0 + c * 1e-3))
+                        return jnp.mean(jnp.abs(y[::65536])) + \
+                            jnp.real(y[0]) * 1e-6
+                else:
+                    @jax.jit
+                    def f(x, c):
+                        y = _fft.fft(x * (1.0 + c * 1e-3))
+                        return jnp.mean(jnp.abs(y[::65536])) + \
+                            jnp.real(y[0]) * 1e-6
 
                 c = f(xs[-1], jnp.float32(0))
                 float(c)  # compile + drain

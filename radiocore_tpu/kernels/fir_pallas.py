@@ -42,6 +42,14 @@ LANES = 128
 SUBLANES = 8           # f32 min tile is (8, 128)
 DEF_BLOCK_ROWS = 512   # 65536 samples per program
 
+# MXU pass count for the banded matmuls (see _fir_kernel comment).
+import os as _os  # noqa: E402
+
+_FIR_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+}[_os.environ.get("RADIOCORE_TPU_FIR_PRECISION", "highest").lower()]
+
 
 def taps_to_band_matrices(taps: np.ndarray) -> np.ndarray:
     """Build the (H+1, 128, 128) banded matrices for ``taps`` (float64 in)."""
@@ -60,12 +68,14 @@ def taps_to_band_matrices(taps: np.ndarray) -> np.ndarray:
 
 def _fir_kernel(x_ref, halo_ref, m_ref, o_ref, *, block_rows, n_halo,
                 halo_pad):
-    # HIGHEST precision: the v5e MXU's DEFAULT f32 matmul rounds inputs
-    # to bf16 (~3e-3 relative FIR error vs a float64 oracle — measured
-    # on hardware; invisible against the XLA conv reference because conv
-    # rounds identically). The kernel is HBM-bound (<4% MXU), so the
-    # 3-pass f32 emulation is free.
-    hi = jax.lax.Precision.HIGHEST
+    # HIGHEST precision by default: the v5e MXU's DEFAULT f32 matmul
+    # rounds inputs to bf16 (~3e-3 relative FIR error vs a float64
+    # oracle — measured on hardware; invisible against the XLA conv
+    # reference because conv rounds identically). The measured marginal
+    # time (0.58 ms vs a 0.26 ms MXU floor at T=129 — docs/ROOFLINE.md)
+    # says the 6-pass emulation is NOT free; "high" (3-pass) is the A/B
+    # lever, soaked to < 1e-4 by benchmarks/pallas_soak.py.
+    hi = _FIR_PRECISION
     body = x_ref[0]                              # (block_rows, 128)
     acc = jnp.dot(body, m_ref[0], precision=hi,
                   preferred_element_type=jnp.float32)

@@ -196,6 +196,31 @@ def _use_pallas(n: int) -> bool:
     return has_tpu()
 
 
+# NON-pow2 sizes of the form a·2^k (a ≤ 128) at or above this route to
+# the mixed-radix Pallas four-step (dense a-point column DFT + pow2 VMEM
+# kernel rows) — the 96-station 24M band class where the native XLA
+# lowering regresses (25.2 ms vs 19.5 ms for the LARGER pow2 band,
+# BENCH_96_r04.json). Opt-in via RADIOCORE_TPU_FFT_MIXED_MIN until the
+# hardware A/B lands (benchmarks/fft_probe.py --raw-sizes ... --impls
+# mixed); 0/unset disables.
+def _mixed_min() -> int:
+    raw = os.environ.get("RADIOCORE_TPU_FFT_MIXED_MIN")
+    if raw is None:
+        return 1 << 62
+    v = int(float(raw))
+    return v if v > 0 else (1 << 62)
+
+
+def _use_mixed(n: int) -> bool:
+    if not (n & (n - 1)) or n < _mixed_min():
+        return False
+    from radiocore_tpu.kernels import fft_pallas as _fp
+    if _fp.mixed_split(n) is None:
+        return False
+    from radiocore_tpu.runtime.platform import has_tpu
+    return has_tpu()
+
+
 def _use_native(n: int) -> bool:
     if _policy == "native":
         return True
@@ -256,6 +281,9 @@ def _fft_rec(x: jnp.ndarray, sign: float) -> jnp.ndarray:
         if n <= _fp.MAX_ROW:
             return _fp.fft_pow2_pallas(x, sign)
         return _fp.fft_large_pow2_pallas(x, sign)
+    if _use_mixed(n):
+        from radiocore_tpu.kernels import fft_pallas as _fp
+        return _fp.fft_large_mixed_pallas(x, sign)
     plan = _plan(n)
     if plan is None:
         return jnp.fft.fft(x, axis=-1) if sign < 0 else (

@@ -205,6 +205,45 @@ def make_multi_station_step(
 
     if all(_fusable(s) for s in {int(n_band), int(station_chunk),
                                  int(audio_chunk)}):
+        if mode == "fast":
+            # Restructured fast path: the per-station composite rfft —
+            # the demod stage's one full-length transform — is hoisted
+            # OUT of the vmapped step into an explicit (C, m) batched
+            # call. Mathematically identical (vmap of rfft is the same
+            # batched HLO); the point is op-level routing: the Pallas
+            # whole-row kernel must see the station batch directly
+            # (vmapping a pallas_call adds a grid dim with pathological
+            # lowering — the r4 all-pallas 10× slowdown,
+            # BENCH_allpallas2_r04.json). Routing knob:
+            # RADIOCORE_TPU_STATION_RFFT=pallas|native (auto=native
+            # until the wave-2 hardware A/B lands).
+            from radiocore_tpu.ops.demod import quadrature_demod
+            tail_fn = make_wbfm_step(station_chunk, audio_chunk,
+                                     deemphasis, mode="fast_spec")
+            tail = jax.vmap(tail_fn)
+            sc = int(station_chunk)
+
+            _rfft_impl = os.environ.get("RADIOCORE_TPU_STATION_RFFT",
+                                        "auto")
+
+            def station_rfft(quad: jnp.ndarray) -> jnp.ndarray:
+                impl = _rfft_impl
+                if impl == "pallas":
+                    from radiocore_tpu.kernels.fft_pallas import (
+                        MAX_ROW, MIN_ROW, rfft_pow2_pallas)
+                    h = sc // 2
+                    if (sc & (sc - 1)) == 0 and MIN_ROW <= h <= MAX_ROW:
+                        return rfft_pow2_pallas(quad)
+                return _fft.rfft(quad)
+
+            @jax.jit
+            def step(band_iq: jnp.ndarray, state: dict):
+                st_iq = extract(band_fft(band_iq)).astype(jnp.complex64)
+                q_spec = station_rfft(quadrature_demod(st_iq))
+                return tail(q_spec, state)
+
+            return step, state0
+
         @jax.jit
         def step(band_iq: jnp.ndarray, state: dict):
             return wbfm_stage(extract(band_fft(band_iq)), state)

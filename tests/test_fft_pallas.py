@@ -144,3 +144,25 @@ def test_irfft_discards_edge_imag():
     want = np.fft.irfft(spec.astype(np.complex128), n=n)
     got = irfft_pow2_pallas(jnp.asarray(spec), n)
     assert np.max(np.abs(np.asarray(got) - want)) < 2e-6
+
+
+def test_mixed_split_and_large_mixed():
+    """Mixed-radix split (a·pow2, a ≤ 128) + interpret-mode parity for
+    small non-pow2 analogs of the 96-station 24M band (= 48·2^19)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from radiocore_tpu.kernels.fft_pallas import (fft_large_mixed_pallas,
+                                                  mixed_split)
+
+    assert mixed_split(3 << 23) == (48, 1 << 19)
+    assert mixed_split(3 << 22) == (24, 1 << 19)
+    assert mixed_split(1009) is None          # prime: no a·pow2 split
+
+    rng = np.random.default_rng(2)
+    for n in (3 << 12, 5 << 11):
+        x = (rng.standard_normal(n)
+             + 1j * rng.standard_normal(n)).astype(np.complex64)
+        got = np.asarray(fft_large_mixed_pallas(jnp.asarray(x)))
+        ref = np.fft.fft(x)
+        rel = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+        assert rel < 1e-4, (n, rel)
