@@ -115,6 +115,7 @@ def run(config: Config, source, sink, seconds: float,
             metrics.incr("chunks_out")
             metrics.gauge("ring_occupancy_pct",
                           100.0 * ring.occupancy / ring.capacity)
+            metrics.gauge("ring_overflows", float(ring.overflows))
             metrics.gauge("realtime_factor",
                           done / max(time.monotonic() - t_start, 1e-9))
     finally:

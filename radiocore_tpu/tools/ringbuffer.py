@@ -36,6 +36,7 @@ class RingBuffer:
         self._head = 0  # write position
         self._tail = 0  # read position
         self._occupancy = 0
+        self._overflows = 0
         self._lock = threading.Lock()
         self._data_ready = threading.Event()
 
@@ -75,6 +76,12 @@ class RingBuffer:
         return self.capacity - self.occupancy
 
     @property
+    def overflows(self) -> int:
+        """Count of overflow-reset events since construction (the
+        streaming-health counter the sustained-run artifact reports)."""
+        return self._overflows
+
+    @property
     def data(self) -> np.ndarray:
         """Raw backing array (use with care).
 
@@ -111,6 +118,7 @@ class RingBuffer:
             if self._native.put_bytes(src) != 1:
                 if not self._allow_overflow:
                     raise ValueError("Overflow happened.")
+                self._overflows += 1
                 if self._print_overflow:
                     print("overflow")
                 self._native.reset()
@@ -122,6 +130,7 @@ class RingBuffer:
             if size > self._capacity - self._occupancy:
                 if not self._allow_overflow:
                     raise ValueError("Overflow happened.")
+                self._overflows += 1
                 if self._print_overflow:
                     print("overflow")
                 self._head = self._tail = 0
