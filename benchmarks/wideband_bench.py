@@ -64,8 +64,14 @@ def plan_n(band_rate: float, seconds: float, channels: int,
 
 
 def build_step(channelizer: str, fir_impl: str, n: int, m: int,
-               taps_per_branch: int = 8, fir_taps: int = 129):
+               taps_per_branch: int = 8, fir_taps: int = 129,
+               stage: str = "full"):
     """(step, initial history) — step(band, h) → (channels, h).
+
+    ``stage`` bisects the fft-channelizer program: 'fft' stops after the
+    band FFT, 'extract'/'full' adds the channel extraction (no output
+    transpose — the layout is benchmark-irrelevant and a big transposed
+    ravel is one more D2H-wedge suspect).
 
     Shared with benchmarks/smoke_compile.py so the queue-head smoke
     stage AOT-warms the exact programs this benchmark runs.
@@ -97,9 +103,12 @@ def build_step(channelizer: str, fir_impl: str, n: int, m: int,
         grid = [((k * chunk + n // 2) % n) - n // 2 for k in range(m)]
         extract = make_extractor(n, tuple(-g for g in grid), chunk)
 
-        def step(band, h):
-            ch = extract(_fft.fft(band_fir(band)))   # (m, chunk)
-            return jnp.swapaxes(ch, -1, -2), h       # (chunk, m) like PFB
+        if stage == "fft":
+            def step(band, h):
+                return _fft.fft(band_fir(band)), h   # spectrum only
+        else:
+            def step(band, h):
+                return extract(_fft.fft(band_fir(band))), h  # (m, chunk)
 
     return step, hist
 
@@ -118,6 +127,9 @@ def main(argv=None) -> None:
     parser.add_argument("--fir", default="pallas",
                         choices=("pallas", "conv", "fft", "none"),
                         help="band-rate FIR lowering (bisect knob)")
+    parser.add_argument("--stage", default="full",
+                        choices=("full", "fft"),
+                        help="program bisect: 'fft' = band FFT only")
     args = parser.parse_args(argv)
 
     import jax
@@ -128,7 +140,8 @@ def main(argv=None) -> None:
     m = args.channels
     n = plan_n(args.band_rate, args.seconds, m, args.channelizer)
     step, hist = build_step(args.channelizer, args.fir, n, m,
-                            args.taps_per_branch, args.fir_taps)
+                            args.taps_per_branch, args.fir_taps,
+                            stage=args.stage)
 
     @jax.jit
     def make_band(key):
@@ -208,6 +221,7 @@ def main(argv=None) -> None:
         "channels": m,
         "channelizer": args.channelizer,
         "fir": args.fir,
+        "stage": args.stage,
         "ms_per_step": round(dt * 1e3, 3),
         "epoch_ms": [round(d * 1e3, 2) for d in epoch_means],
         "min_hbm_gbytes_per_s": round(min_bytes / dt / 1e9, 1),
