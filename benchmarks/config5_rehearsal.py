@@ -180,12 +180,13 @@ def multihost_rehearsal(n_stations: int, station_chunk: int,
     for rc, out, err in outs:
         if rc != 0:
             raise RuntimeError(f"worker rc={rc}\n{err[-3000:]}")
-        m = re.search(r"CHECKSUM (\S+) HALO (\S+) SPS (\S+) CHIPS (\d+)",
-                      out)
+        m = re.search(r"CHECKSUM (\S+) HALO (\S+) SPS (\S+) CHIPS (\d+)"
+                      r"(?: COLLBYTES (\d+))?", out)
         if m is None:
             raise RuntimeError(f"no checksum line in {out!r}")
         vals.append((float(m.group(1)), float(m.group(3)),
-                     int(m.group(4))))
+                     int(m.group(4)),
+                     int(m.group(5)) if m.group(5) else None))
 
     agree = abs(vals[0][0] - vals[1][0]) <= 1e-6 * abs(vals[0][0])
     chips = vals[0][2]
@@ -202,6 +203,7 @@ def multihost_rehearsal(n_stations: int, station_chunk: int,
             vals[0][1] / chips / 1e6, 3),
         "cpu_virtual_realtime_channels_NOT_TPU": round(
             vals[0][1] / station_chunk, 2),
+        "collective_bytes_per_process": [v[3] for v in vals],
         "wall_s": round(wall, 1),
     }
     print(json.dumps(row), flush=True)

@@ -80,7 +80,8 @@ def main(argv=None) -> int:
         step_src = "cli"
     base_stations = 64   # the step_ms measurement's station count
 
-    ici_gb = 45.0        # per-link ICI, conservative (comm_analysis.py)
+    ici_gb = 45.0        # ONE ICI link — the no-overlap worst case
+    ici_all_gb = 186.0   # all 4 links (all-to-all stripes across them)
     m = args.station_chunk
     rows = []
     for c in args.stations:
@@ -108,15 +109,19 @@ def main(argv=None) -> int:
             # count, then split across D chips (assumption 1).
             t_comp = step_ms * 1e-3 * (c / base_stations) / d
             t_coll = total / (ici_gb * 1e9)
+            t_coll_all = total / (ici_all_gb * 1e9)
             eff = t_comp / (t_comp + t_coll) if t_comp else None
+            eff_hi = t_comp / (t_comp + t_coll_all) if t_comp else None
             row = {"stations": c, "devices": d,
                    "collective_bytes_per_device": total,
                    "collective_breakdown": {k: v for k, v in rep.items()
                                             if k != "total"},
                    "t_compute_ms": round(t_comp * 1e3, 3),
                    "t_collective_ms_bound": round(t_coll * 1e3, 3),
-                   "projected_efficiency_v5e": (round(eff, 4)
-                                                if eff else None)}
+                   "projected_efficiency_1link_noverlap":
+                       (round(eff, 4) if eff else None),
+                   "projected_efficiency_4link":
+                       (round(eff_hi, 4) if eff_hi else None)}
             rows.append(row)
             print(json.dumps(row), flush=True)
 
@@ -127,12 +132,16 @@ def main(argv=None) -> int:
            "step_ms_source": {"file": step_src, "ms": round(step_ms, 2),
                               "stations": base_stations},
            "ici_gb_per_link": ici_gb,
+           "ici_gb_all_links": ici_all_gb,
            "assumptions": [
                "t_compute scales linearly in stations and splits "
                "perfectly across devices (station axis is "
                "embarrassingly parallel after the front-end)",
-               "collective time = bytes / 45 GB/s with ZERO "
-               "compute-communication overlap (worst case)",
+               "1link column: bytes / 45 GB/s, ZERO compute-"
+               "communication overlap (worst case); 4link column: "
+               "bytes / 186 GB/s (all-to-all stripes across the 4 ICI "
+               "links) — the two columns bracket reality, and XLA's "
+               "collective-compute overlap pushes toward the upper",
                "per-step HLO byte totals; no collectives inside loops",
                "single ICI domain (v5e-16); DCN not modeled",
            ],
