@@ -91,3 +91,35 @@ def test_fused_extract_demod_step_matches_default(impl, monkeypatch):
     assert np.asarray(got).shape == np.asarray(want).shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4)
+
+
+def test_station_rfft_pallas_routing_matches(monkeypatch):
+    """RADIOCORE_TPU_STATION_RFFT=pallas (the hoisted fast-mode station
+    rfft through the VMEM kernel) must match the native lowering."""
+    from radiocore_tpu.ops import channelize
+    from radiocore_tpu.parallel.pipeline import make_multi_station_step
+
+    n_stations, station_chunk, audio_chunk = 2, 65_536, 16_384
+    n_band = n_stations * station_chunk
+    half = n_band // 2 - station_chunk // 2
+    offsets = [int(-half + i * station_chunk) for i in range(n_stations)]
+
+    rng = np.random.default_rng(23)
+    band = (rng.standard_normal(n_band)
+            + 1j * rng.standard_normal(n_band)).astype(np.complex64) * 0.1
+
+    monkeypatch.delenv("RADIOCORE_TPU_STATION_RFFT", raising=False)
+    channelize.make_extractor.cache_clear()
+    step_n, st_n = make_multi_station_step(
+        n_band, offsets, station_chunk, audio_chunk, mode="fast")
+    want, _ = step_n(band, st_n)
+
+    monkeypatch.setenv("RADIOCORE_TPU_STATION_RFFT", "pallas")
+    channelize.make_extractor.cache_clear()
+    step_p, st_p = make_multi_station_step(
+        n_band, offsets, station_chunk, audio_chunk, mode="fast")
+    got, _ = step_p(band, st_p)
+    channelize.make_extractor.cache_clear()
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=4e-5)
