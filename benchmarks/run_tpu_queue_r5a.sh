@@ -70,7 +70,9 @@ run wb24_nofir 1200 WIDEBAND_n24_nofir_r05.json \
 run wb23_fftonly 1200 WIDEBAND_fftonly_r05.json \
   python benchmarks/wideband_bench.py --channelizer fft --fir none \
   --stage fft
-# (b') 2^23 + extraction, transpose now removed:
-run wb23_noswap 1200 WIDEBAND_noswap_r05.json \
-  python benchmarks/wideband_bench.py --channelizer fft --fir none
+# (c) alias-elision control: same as the failed wb5_nofir but with the
+# history output forced through a real computation:
+run wb23_touch 1200 WIDEBAND_touchh_r05.json \
+  python benchmarks/wideband_bench.py --channelizer fft --fir none \
+  --touch-history
 echo "=== queue_r5 wave1.5 done $(date +%T) ===" >> "$LOG"

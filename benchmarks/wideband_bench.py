@@ -130,6 +130,9 @@ def main(argv=None) -> None:
     parser.add_argument("--stage", default="full",
                         choices=("full", "fft"),
                         help="program bisect: 'fft' = band FFT only")
+    parser.add_argument("--touch-history", action="store_true",
+                        help="force a real computation into the "
+                             "history output (alias-elision control)")
     args = parser.parse_args(argv)
 
     import jax
@@ -154,6 +157,14 @@ def main(argv=None) -> None:
     @jax.jit
     def step_chained(band, h, c):
         ch, h2 = step(band * (1.0 + c * 1e-3), h)
+        if args.touch_history:
+            # Control: the fft-mode step passes `h` through UNTOUCHED, so
+            # XLA aliases the output to the input — a program shape
+            # bench.py (whose state is genuinely updated each call)
+            # never produces, and a candidate for the D2H wedge. This
+            # forces a real computation into the history output.
+            h2 = jax.tree_util.tree_map(lambda a: a * (1.0 + c * 0.0),
+                                        h2)
         chk = jnp.mean(jnp.abs(ch.ravel()[::4096])) \
             + jnp.real(ch.ravel()[0]) * 1e-3
         return ch, h2, chk
