@@ -158,13 +158,16 @@ def main(argv=None) -> None:
     def step_chained(band, h, c):
         ch, h2 = step(band * (1.0 + c * 1e-3), h)
         if args.touch_history:
-            # Control: the fft-mode step passes `h` through UNTOUCHED, so
-            # XLA aliases the output to the input — a program shape
-            # bench.py (whose state is genuinely updated each call)
-            # never produces, and a candidate for the D2H wedge. This
-            # forces a real computation into the history output.
-            h2 = jax.tree_util.tree_map(lambda a: a * (1.0 + c * 0.0),
-                                        h2)
+            # Control: the fft-mode step passes `h` through UNTOUCHED
+            # (and the pfb/fir histories are input SLICES), so XLA can
+            # alias the output to an input buffer — a program shape
+            # bench.py (whose state is a genuinely computed array)
+            # never produces, and the one element present in every
+            # wedging config-4 variant. Force a real, non-foldable
+            # computation into the history output (c is runtime data;
+            # `a*(1+c*0)` would fold back to the identity).
+            h2 = jax.tree_util.tree_map(
+                lambda a: a + (c * 1e-30).astype(a.dtype), h2)
         chk = jnp.mean(jnp.abs(ch.ravel()[::4096])) \
             + jnp.real(ch.ravel()[0]) * 1e-3
         return ch, h2, chk
