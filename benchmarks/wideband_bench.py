@@ -133,6 +133,16 @@ def main(argv=None) -> None:
     parser.add_argument("--touch-history", action="store_true",
                         help="force a real computation into the "
                              "history output (alias-elision control)")
+    parser.add_argument("--fetch-via", default="direct",
+                        choices=("direct", "demod"),
+                        help="'demod': launder every scalar fetch "
+                             "through a known-fetchable WBFM program "
+                             "whose input depends on the chained value "
+                             "(the wave-1/1.5 finding: D2H of anything "
+                             "THIS program produces is refused while "
+                             "bench.py-program buffers fetch fine in "
+                             "the same session; the dependency still "
+                             "forces the whole chain to execute)")
     args = parser.parse_args(argv)
 
     import jax
@@ -187,8 +197,31 @@ def main(argv=None) -> None:
 
     from radiocore_tpu.runtime.transfer import to_host
 
-    def fetch(c):
-        return float(to_host(c))
+    if args.fetch_via == "demod":
+        from radiocore_tpu.models.wbfm import (make_wbfm_step,
+                                               wbfm_init_state)
+        _wstep = make_wbfm_step(262_144, 49_152, mode="fast")
+        _wst = wbfm_init_state(49_152)
+
+        @jax.jit
+        def _laundered(key, c):
+            p = 0.1 * jax.random.normal(key, (2, 262_144), jnp.float32)
+            iq = jax.lax.complex(p[0], p[1]) * (1.0 + c * 1e-3)
+            a, _ = _wstep(iq, _wst)
+            return jnp.mean(jnp.abs(a))
+
+        _fetch_n = [0]
+
+        def fetch(c):
+            # Serial dependency: the WBFM probe's input folds in `c`,
+            # so the relay must complete the wideband chain to produce
+            # this (fetchable) value. Fresh key per call (dedup-proof).
+            _fetch_n[0] += 1
+            return float(to_host(_laundered(jax.random.key(
+                90_000 + _fetch_n[0]), c)))
+    else:
+        def fetch(c):
+            return float(to_host(c))
 
     def run_epoch(h, chk):
         fetch(chk)                      # hard drain before the clock
@@ -239,6 +272,7 @@ def main(argv=None) -> None:
         "ms_per_step": round(dt * 1e3, 3),
         "epoch_ms": [round(d * 1e3, 2) for d in epoch_means],
         "min_hbm_gbytes_per_s": round(min_bytes / dt / 1e9, 1),
+        "fetch_via": args.fetch_via,
         "protocol": "bench.py form: per-call jit, fresh bands, "
                     "chained channel-derived scalar + history, "
                     "min-of-epochs, roofline guard",
