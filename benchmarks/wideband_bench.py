@@ -204,10 +204,14 @@ def main(argv=None) -> None:
         _wst = wbfm_init_state(49_152)
 
         @jax.jit
-        def _laundered(key, c):
+        def _laundered(key, c, st):
+            # `st` is an ARGUMENT: a closed-over device array would be
+            # constant-folded into the HLO via a lowering-time D2H
+            # fetch — which is exactly what this path must avoid
+            # (CLAUDE.md; wave-1.6 attempt 1 died there).
             p = 0.1 * jax.random.normal(key, (2, 262_144), jnp.float32)
             iq = jax.lax.complex(p[0], p[1]) * (1.0 + c * 1e-3)
-            a, _ = _wstep(iq, _wst)
+            a, _ = _wstep(iq, st)
             return jnp.mean(jnp.abs(a))
 
         _fetch_n = [0]
@@ -218,7 +222,7 @@ def main(argv=None) -> None:
             # this (fetchable) value. Fresh key per call (dedup-proof).
             _fetch_n[0] += 1
             return float(to_host(_laundered(jax.random.key(
-                90_000 + _fetch_n[0]), c)))
+                90_000 + _fetch_n[0]), c, _wst)))
     else:
         def fetch(c):
             return float(to_host(c))
