@@ -224,7 +224,7 @@ def main(argv=None) -> int:
             fails += 1
             print(json.dumps({"variant": name, "ok": False,
                               "s": round(time.perf_counter() - t0, 1),
-                              "err": f"{type(e).__name__}: {e}"[:300]}),
+                              "err": f"{type(e).__name__}: {e}"[-600:]}),
                   flush=True)
     print(json.dumps({"stage": "smoke-compile", "fails": fails}),
           flush=True)

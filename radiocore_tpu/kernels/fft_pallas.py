@@ -410,9 +410,11 @@ def mixed_split(n: int) -> Tuple[int, int] | None:
     (``a`` may be non-pow2 — e.g. 24M = 48·2^19, the 96-station band).
     Returns the smallest valid ``a``, or None."""
     n = int(n)
-    # Scan b from MAX_ROW down: the largest pow2 row keeps the column
-    # DFT (a×a dense matmul) smallest.
-    b = MAX_ROW
+    # Scan b from 2^18 down (NOT MAX_ROW): 2^18 rows are the soaked
+    # configuration (FFT_SOAK_r04) and the same row size the pow2
+    # four-step uses; a 2^19-row variant failed remote compile on the
+    # v5e (smoke_r5w2). The column DFT grows to a ≤ 128 accordingly.
+    b = 1 << 18
     while b >= MIN_ROW:
         if n % b == 0:
             a = n // b
