@@ -172,19 +172,26 @@ def main(argv=None) -> int:
         _wb = _load_bench_module("wideband_bench")
         nn = _wb.plan_n(61.44e6, 0.25, 64, chz)
         step, hist0 = _wb.build_step(chz, fir, nn, 64)
-
-        def chained(band, h, c0):
-            import jax.numpy as _jnp
-            ch, h2 = step(band * (1.0 + c0 * 1e-3), h)
-            chk = _jnp.mean(_jnp.abs(ch.ravel()[::4096])) \
-                + _jnp.real(ch.ravel()[0]) * 1e-3
-            return ch, h2, chk
+        import jax.numpy as _jnp
 
         band = jax.ShapeDtypeStruct((nn,), jnp.complex64)
-        h = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), hist0)
         c0 = jax.ShapeDtypeStruct((), jnp.float32)
-        jax.jit(chained).lower(band, h, c0).compile()
+        if hist0 is None:                     # stateless fft form
+            def chained(band, c0):
+                ch = step(band * (1.0 + c0 * 1e-3))
+                chk = _jnp.mean(_jnp.abs(ch.ravel()[::4096])) \
+                    + _jnp.real(ch.ravel()[0]) * 1e-3
+                return ch, chk
+            jax.jit(chained).lower(band, c0).compile()
+        else:
+            def chained(band, h, c0):
+                ch, h2 = step(band * (1.0 + c0 * 1e-3), h)
+                chk = _jnp.mean(_jnp.abs(ch.ravel()[::4096])) \
+                    + _jnp.real(ch.ravel()[0]) * 1e-3
+                return ch, h2, chk
+            h = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), hist0)
+            jax.jit(chained).lower(band, h, c0).compile()
 
     variants = {
         "fft_kernel": compile_fft_kernel,

@@ -154,8 +154,8 @@ def test_mixed_split_and_large_mixed():
     from radiocore_tpu.kernels.fft_pallas import (fft_large_mixed_pallas,
                                                   mixed_split)
 
-    assert mixed_split(3 << 23) == (48, 1 << 19)
-    assert mixed_split(3 << 22) == (24, 1 << 19)
+    assert mixed_split(3 << 23) == (96, 1 << 18)   # rows capped at 2^18
+    assert mixed_split(3 << 22) == (48, 1 << 18)
     assert mixed_split(1009) is None          # prime: no a·pow2 split
 
     rng = np.random.default_rng(2)
