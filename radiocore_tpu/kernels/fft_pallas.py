@@ -106,16 +106,32 @@ def _dft_planes(size: int, sign: float) -> Tuple[np.ndarray, np.ndarray]:
 # shows the kernel compute-bound rather than HBM-bound).
 _CMUL = os.environ.get("RADIOCORE_TPU_FFT_CMUL", "4mm")
 
-# MXU pass count for the DFT matmuls: HIGHEST = 6-pass bf16 emulation
-# (full f32), "high" = 3-pass (half the MXU time; relative error grows
-# from ~5e-7 to the ~1e-5..1e-6 class). The kernel's cost model says it
-# is MXU-bound (docs/ROOFLINE.md), so this is the single cheapest
+# MXU pass count for the DFT matmuls: "highest" = 6-pass bf16 emulation
+# (full f32, ~5e-7), "3pass" = hand-rolled bf16x3 (XLA's HIGH scheme —
+# half the MXU time, ~1e-5 class; Mosaic rejects lax.Precision.HIGH
+# itself with "Unsupported dot precision", measured r5 smoke, so the
+# decomposition a·b ≈ hi·hi + hi·lo + lo·hi is written out with
+# DEFAULT-precision bf16 dots). The kernel's cost model says it is
+# MXU-bound (docs/ROOFLINE.md), so this is the single cheapest
 # throughput lever — A/B'd by benchmarks/pallas_soak.py --fft, which
 # asserts rel < 1e-4 either way.
-_MM_PRECISION = {
-    "highest": jax.lax.Precision.HIGHEST,
-    "high": jax.lax.Precision.HIGH,
-}[os.environ.get("RADIOCORE_TPU_FFT_MM_PRECISION", "highest").lower()]
+_MM_MODE = os.environ.get("RADIOCORE_TPU_FFT_MM_PRECISION",
+                          "highest").lower()
+_MM_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _mm_3pass(a, b, dn):
+    """f32 matmul via 3 bf16 passes (drops the lo·lo term)."""
+    dnums = (dn, ((), ()))
+
+    def dot(x, y):
+        return jax.lax.dot_general(
+            x.astype(jnp.bfloat16), y.astype(jnp.bfloat16), dnums,
+            preferred_element_type=jnp.float32)
+
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    return dot(a_hi, b_hi) + dot(a_hi, b - b_hi) + dot(a - a_hi, b_hi)
 
 # dot_general dimension numbers: LEFT = D @ X (contract D's cols with
 # X's rows); NT = D @ Xᵀ (contract the LAST dim of both — the stage-3
@@ -128,9 +144,14 @@ def _cmm(dr, di, xr, xi, dn):
     """Complex 2-D matmul from planar f32 planes on the MXU."""
     hi = _MM_PRECISION
 
-    def mm(a, b):
-        return jax.lax.dot_general(a, b, (dn, ((), ())), precision=hi,
-                                   preferred_element_type=jnp.float32)
+    if _MM_MODE == "3pass":
+        def mm(a, b):
+            return _mm_3pass(a, b, dn)
+    else:
+        def mm(a, b):
+            return jax.lax.dot_general(a, b, (dn, ((), ())),
+                                       precision=hi,
+                                       preferred_element_type=jnp.float32)
 
     if _CMUL == "3mm":
         # (dr + i·di)(xr + i·xi): m1 = dr·xr, m2 = di·xi,

@@ -43,12 +43,27 @@ SUBLANES = 8           # f32 min tile is (8, 128)
 DEF_BLOCK_ROWS = 512   # 65536 samples per program
 
 # MXU pass count for the banded matmuls (see _fir_kernel comment).
+# "3pass" = hand-rolled bf16x3 (Mosaic rejects lax.Precision.HIGH —
+# "Unsupported dot precision", r5 smoke — so the hi/lo decomposition is
+# written out with DEFAULT bf16 dots; drops only the lo·lo term).
 import os as _os  # noqa: E402
 
-_FIR_PRECISION = {
-    "highest": jax.lax.Precision.HIGHEST,
-    "high": jax.lax.Precision.HIGH,
-}[_os.environ.get("RADIOCORE_TPU_FIR_PRECISION", "highest").lower()]
+_FIR_MODE = _os.environ.get("RADIOCORE_TPU_FIR_PRECISION",
+                            "highest").lower()
+_FIR_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _dot_fir(x, m):
+    if _FIR_MODE == "3pass":
+        def dot(a, b):
+            return jnp.dot(a.astype(jnp.bfloat16),
+                           b.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+        x_hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+        m_hi = m.astype(jnp.bfloat16).astype(jnp.float32)
+        return dot(x_hi, m_hi) + dot(x_hi, m - m_hi) + dot(x - x_hi, m_hi)
+    return jnp.dot(x, m, precision=_FIR_PRECISION,
+                   preferred_element_type=jnp.float32)
 
 
 def taps_to_band_matrices(taps: np.ndarray) -> np.ndarray:
@@ -75,16 +90,13 @@ def _fir_kernel(x_ref, halo_ref, m_ref, o_ref, *, block_rows, n_halo,
     # time (0.58 ms vs a 0.26 ms MXU floor at T=129 — docs/ROOFLINE.md)
     # says the 6-pass emulation is NOT free; "high" (3-pass) is the A/B
     # lever, soaked to < 1e-4 by benchmarks/pallas_soak.py.
-    hi = _FIR_PRECISION
     body = x_ref[0]                              # (block_rows, 128)
-    acc = jnp.dot(body, m_ref[0], precision=hi,
-                  preferred_element_type=jnp.float32)
+    acc = _dot_fir(body, m_ref[0])
     if n_halo > 0:
         ext = jnp.concatenate([halo_ref[0, 0], body], axis=0)
         for h in range(1, n_halo + 1):
             rows = ext[halo_pad - h:halo_pad - h + block_rows]
-            acc = acc + jnp.dot(rows, m_ref[h], precision=hi,
-                                preferred_element_type=jnp.float32)
+            acc = acc + _dot_fir(rows, m_ref[h])
     o_ref[0] = acc
 
 
