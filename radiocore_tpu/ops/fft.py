@@ -199,14 +199,17 @@ def _use_pallas(n: int) -> bool:
 # NON-pow2 sizes of the form a·2^k (a ≤ 128) at or above this route to
 # the mixed-radix Pallas four-step (dense a-point column DFT + pow2 VMEM
 # kernel rows) — the 96-station 24M band class where the native XLA
-# lowering regresses (25.2 ms vs 19.5 ms for the LARGER pow2 band,
-# BENCH_96_r04.json). Opt-in via RADIOCORE_TPU_FFT_MIXED_MIN until the
-# hardware A/B lands (benchmarks/fft_probe.py --raw-sizes ... --impls
-# mixed); 0/unset disables.
+# lowering regresses. DEFAULT since r5: 2^23 — hardware A/B at 24M:
+# mixed 12.8 ms vs fourstep 16.7 vs native 27.8 (FFT_PROBE_24M_r05.
+# json), and the 96-station pipeline step dropped 41.9 → 27.8 ms
+# (BENCH_96_r04 vs BENCH_96mixed_r05). Override via env; 0 disables.
+_MIXED_MIN_DEFAULT = 1 << 23
+
+
 def _mixed_min() -> int:
     raw = os.environ.get("RADIOCORE_TPU_FFT_MIXED_MIN")
     if raw is None:
-        return 1 << 62
+        return _MIXED_MIN_DEFAULT
     v = int(float(raw))
     return v if v > 0 else (1 << 62)
 

@@ -215,8 +215,11 @@ def make_multi_station_step(
             # (vmapping a pallas_call adds a grid dim with pathological
             # lowering — the r4 all-pallas 10× slowdown,
             # BENCH_allpallas2_r04.json). Routing knob:
-            # RADIOCORE_TPU_STATION_RFFT=pallas|native (auto=native
-            # until the wave-2 hardware A/B lands).
+            # RADIOCORE_TPU_STATION_RFFT=pallas|native|auto. DEFAULT
+            # since r5: auto = pallas on TPU — hardware A/B
+            # BENCH_prfft_r05.json: 19.24 vs 20.35 ms/step, and the
+            # standalone ladder has the kernel rfft at 6.15 vs 8.34 ms
+            # native (DEMOD_PROFILE_r05.json).
             from radiocore_tpu.ops.demod import quadrature_demod
             tail_fn = make_wbfm_step(station_chunk, audio_chunk,
                                      deemphasis, mode="fast_spec")
@@ -228,6 +231,9 @@ def make_multi_station_step(
 
             def station_rfft(quad: jnp.ndarray) -> jnp.ndarray:
                 impl = _rfft_impl
+                if impl == "auto":
+                    from radiocore_tpu.runtime.platform import has_tpu
+                    impl = "pallas" if has_tpu() else "native"
                 if impl == "pallas":
                     from radiocore_tpu.kernels.fft_pallas import (
                         MAX_ROW, MIN_ROW, rfft_pow2_pallas)
