@@ -42,7 +42,9 @@ def _is_stereo(config: PipelineConfig) -> bool:
 def run(config: Config, source, sink, seconds: float,
         metrics: Metrics | None = None,
         timer: StageTimer | None = None,
-        ingest_depth: int = 2) -> None:
+        ingest_depth: int = 2,
+        wbfm_mode: str = "exact",
+        realtime_source: bool = False) -> None:
     """Pump ``seconds`` of IQ through the pipeline into ``sink``.
 
     H2D staging is double-buffered (``runtime/ingest.py``): chunk N+1's
@@ -66,17 +68,33 @@ def run(config: Config, source, sink, seconds: float,
     ring = RingBuffer(in_chunk * 3, dtype="complex64", print_overflow=False)
 
     decimate = Decimate(in_chunk, config.demod_chunk)
-    demod_cls = WBFM if _is_stereo(config) else MFM
-    demod = demod_cls(config.demod_chunk, config.audio_chunk,
-                      deemphasis=config.deemphasis)
+    if _is_stereo(config):
+        # ``wbfm_mode='fast'`` is the TPU-native demod (one full-length
+        # transform per chunk); 'exact' stays the reference-parity
+        # default (golden-matched to the scipy oracle).
+        demod = WBFM(config.demod_chunk, config.audio_chunk,
+                     deemphasis=config.deemphasis, mode=wbfm_mode)
+    else:
+        demod = MFM(config.demod_chunk, config.audio_chunk,
+                    deemphasis=config.deemphasis)
 
     n_chunks = int(round(seconds))
     stop = threading.Event()
 
     def producer():
-        for _ in range(n_chunks):
+        t0 = time.monotonic()
+        for i in range(n_chunks):
             if stop.is_set():
                 return
+            if realtime_source:
+                # Pace chunks at wall-clock rate — live-SDR semantics
+                # (the reference's readStream delivers in real time,
+                # reference: examples/receive_fm.py:46-58). Without
+                # pacing, a faster-than-realtime synthetic source just
+                # measures ring-overflow policy, not streaming health.
+                lag = i - (time.monotonic() - t0)
+                if lag > 0:
+                    time.sleep(lag)
             ring.put(source.read_chunk(1.0))
             metrics.incr("chunks_in")
 

@@ -115,8 +115,17 @@ _CMUL = os.environ.get("RADIOCORE_TPU_FFT_CMUL", "4mm")
 # MXU-bound (docs/ROOFLINE.md), so this is the single cheapest
 # throughput lever — A/B'd by benchmarks/pallas_soak.py --fft, which
 # asserts rel < 1e-4 either way.
-_MM_MODE = os.environ.get("RADIOCORE_TPU_FFT_MM_PRECISION",
-                          "highest").lower()
+def _mm_mode() -> str:
+    raw = os.environ.get("RADIOCORE_TPU_FFT_MM_PRECISION")
+    if raw:
+        return raw.lower()
+    # TPU default since r5: 3pass — soaked 5-6e-6 (< the 1e-4 gate,
+    # FFT_SOAK_3pass_r05.json), rows 2.03 vs 2.66 ms, pipeline 17.80 vs
+    # 19.08 ms/step (BENCH_3pass_r05.json). CPU (interpret-mode tests,
+    # 2e-6 parity bounds) stays HIGHEST.
+    return "3pass" if has_tpu() else "highest"
+
+
 _MM_PRECISION = jax.lax.Precision.HIGHEST
 
 
@@ -144,7 +153,7 @@ def _cmm(dr, di, xr, xi, dn):
     """Complex 2-D matmul from planar f32 planes on the MXU."""
     hi = _MM_PRECISION
 
-    if _MM_MODE == "3pass":
+    if _mm_mode() == "3pass":
         def mm(a, b):
             return _mm_3pass(a, b, dn)
     else:

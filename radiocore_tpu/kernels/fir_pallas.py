@@ -48,13 +48,21 @@ DEF_BLOCK_ROWS = 512   # 65536 samples per program
 # written out with DEFAULT bf16 dots; drops only the lo·lo term).
 import os as _os  # noqa: E402
 
-_FIR_MODE = _os.environ.get("RADIOCORE_TPU_FIR_PRECISION",
-                            "highest").lower()
 _FIR_PRECISION = jax.lax.Precision.HIGHEST
 
 
+def _fir_mode() -> str:
+    raw = _os.environ.get("RADIOCORE_TPU_FIR_PRECISION")
+    if raw:
+        return raw.lower()
+    # TPU default since r5: 3pass — soaked (PALLAS_SOAK_3pass_r05.json:
+    # marginal 0.499 vs 0.582 ms, 269 GB/s; rel err < 1e-4). CPU
+    # (interpret-mode tests with tight parity bounds) stays HIGHEST.
+    return "3pass" if has_tpu() else "highest"
+
+
 def _dot_fir(x, m):
-    if _FIR_MODE == "3pass":
+    if _fir_mode() == "3pass":
         def dot(a, b):
             return jnp.dot(a.astype(jnp.bfloat16),
                            b.astype(jnp.bfloat16),
