@@ -223,7 +223,11 @@ def make_multi_station_step(
             from radiocore_tpu.ops.demod import quadrature_demod
             tail_fn = make_wbfm_step(station_chunk, audio_chunk,
                                      deemphasis, mode="fast_spec")
-            tail = jax.vmap(tail_fn)
+            # No vmap: the fast_spec tail is batch-generic (last-axis
+            # jnp ops), and an explicit (C, ...) batch is what lets any
+            # Pallas routing inside it see the station batch directly
+            # (vmap-of-pallas is the r4 10× pathology).
+            tail = tail_fn
             sc = int(station_chunk)
 
             _rfft_impl = os.environ.get("RADIOCORE_TPU_STATION_RFFT",
