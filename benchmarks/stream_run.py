@@ -89,6 +89,10 @@ def main(argv=None) -> int:
                         help="unthrottled producer (measures overflow "
                              "policy rather than streaming health)")
     parser.add_argument("--unique-chunks", type=int, default=6)
+    parser.add_argument("--ring-seconds", type=float, default=8.0,
+                        help="jitter-buffer depth (transient relay "
+                             "transfer stalls of 2-3 s must absorb "
+                             "without overflow-reset)")
     parser.add_argument("--out", default=None)
     args = parser.parse_args(argv)
 
@@ -121,7 +125,8 @@ def main(argv=None) -> int:
     receive_fm.run(config, source, sink, seconds=args.seconds,
                    metrics=metrics, timer=timer,
                    wbfm_mode=args.wbfm_mode,
-                   realtime_source=not args.no_realtime_source)
+                   realtime_source=not args.no_realtime_source,
+                   ring_seconds=args.ring_seconds, warmup=True)
     wall = time.perf_counter() - t0
 
     tw = sink.t_writes
@@ -149,8 +154,12 @@ def main(argv=None) -> int:
     # writes. Unpaced, the old per-chunk realtime-factor criterion
     # applies.
     if paced:
+        # With a jitter buffer, transient transport stalls legitimately
+        # show as long inter-writes followed by catch-up bursts; health
+        # = every chunk delivered, zero overflow-resets, and bounded
+        # end-to-end drift (the stream finishes ~on the wall clock).
         healthy = (len(tw) == n_expected and overflows == 0
-                   and (not per_chunk or max(per_chunk) < 1.5))
+                   and wall < args.seconds + 15)
     else:
         healthy = bool(rtf and min(rtf) > 1.0)
     result = {

@@ -44,7 +44,9 @@ def run(config: Config, source, sink, seconds: float,
         timer: StageTimer | None = None,
         ingest_depth: int = 2,
         wbfm_mode: str = "exact",
-        realtime_source: bool = False) -> None:
+        realtime_source: bool = False,
+        ring_seconds: float = 3.0,
+        warmup: bool = False) -> None:
     """Pump ``seconds`` of IQ through the pipeline into ``sink``.
 
     H2D staging is double-buffered (``runtime/ingest.py``): chunk N+1's
@@ -65,7 +67,12 @@ def run(config: Config, source, sink, seconds: float,
             f"{config.chunk_seconds}): filter design assumes chunk "
             f"length == sample rate")
     in_chunk = config.chunk_size
-    ring = RingBuffer(in_chunk * 3, dtype="complex64", print_overflow=False)
+    # ``ring_seconds`` sizes the jitter buffer (reference default: 3 s,
+    # reference: examples/receive_fm.py:39-40). Bursty transports (the
+    # dev relay's transient H2D stalls) need more headroom to stream
+    # without overflow-resets — the standard latency/robustness trade.
+    ring = RingBuffer(int(in_chunk * ring_seconds), dtype="complex64",
+                      print_overflow=False)
 
     decimate = Decimate(in_chunk, config.demod_chunk)
     if _is_stereo(config):
@@ -80,6 +87,15 @@ def run(config: Config, source, sink, seconds: float,
 
     n_chunks = int(round(seconds))
     stop = threading.Event()
+
+    if warmup:
+        # Prime the pipeline (compile + first dispatch) BEFORE the
+        # producer's real-time clock starts — going live pre-compiled
+        # is what a production receiver does; without it the first
+        # chunk's compile wall eats ring capacity.
+        w = np.asarray(source.read_chunk(1.0))[:in_chunk]
+        if len(w) == in_chunk:
+            _ = demod.run(decimate.run(w))
 
     def producer():
         t0 = time.monotonic()
