@@ -191,3 +191,36 @@ class TestIqFormats:
         from radiocore_tpu.apps.iq import convert_iq
         out = convert_iq(np.zeros(7, np.int16), "cs16")
         assert out.shape == (3,) and out.dtype == np.complex64
+
+
+def test_receive_fm_warmup_and_ring_seconds():
+    """The r5 streaming knobs: pipeline-priming warmup and configurable
+    jitter-buffer depth run end-to-end and deliver every chunk."""
+    import numpy as np
+    from radiocore_tpu.apps import receive_fm
+    from radiocore_tpu.apps.iq import SyntheticFmSource
+    from radiocore_tpu.runtime.config import PipelineConfig, StationConfig
+    from radiocore_tpu.runtime.metrics import Metrics
+
+    config = PipelineConfig(input_rate=131072, demod_rate=65536,
+                            audio_rate=16384,
+                            stations=(StationConfig(frequency=0.0,
+                                                    mode="wbfm"),))
+    source = SyntheticFmSource(131072, [0], 65536)
+    chunks = []
+
+    class Sink:
+        def write(self, audio):
+            chunks.append(np.asarray(audio))
+
+        def close(self):
+            pass
+
+    metrics = Metrics()
+    receive_fm.run(config, source, Sink(), seconds=2.0,
+                   metrics=metrics, wbfm_mode="fast",
+                   ring_seconds=5.0, warmup=True)
+    assert len(chunks) == 2
+    assert chunks[0].shape == (16384, 2)
+    snap = metrics.snapshot()
+    assert snap.get("ring_overflows", 0) == 0

@@ -117,3 +117,24 @@ def test_extractor_fourstep_ifft_matches_native(monkeypatch):
     channelize.make_extractor.cache_clear()
     scale = np.max(np.abs(want))
     np.testing.assert_allclose(got, want, atol=1e-5 * scale)
+
+
+def test_use_mixed_gating(monkeypatch):
+    """Planner mixed-radix routing: engaged only for non-pow2 a*2^k
+    sizes >= the threshold on TPU (r5 default 2^23)."""
+    from radiocore_tpu.ops import fft as _fft
+    from radiocore_tpu.runtime import platform
+
+    monkeypatch.setattr(platform, "has_tpu", lambda: True)
+    monkeypatch.delenv("RADIOCORE_TPU_FFT_MIXED_MIN", raising=False)
+    assert _fft._use_mixed(3 << 23)          # 24M = 96 * 2^18
+    assert not _fft._use_mixed(1 << 24)      # pow2 -> _use_pallas path
+    assert not _fft._use_mixed(3 << 20)      # below threshold
+    assert not _fft._use_mixed((1 << 23) + 8)  # no a*pow2 split
+
+    monkeypatch.setattr(platform, "has_tpu", lambda: False)
+    assert not _fft._use_mixed(3 << 23)      # CPU: off
+
+    monkeypatch.setattr(platform, "has_tpu", lambda: True)
+    monkeypatch.setenv("RADIOCORE_TPU_FFT_MIXED_MIN", "0")
+    assert not _fft._use_mixed(3 << 23)      # 0 disables
