@@ -119,15 +119,30 @@ def _extract_call(xr3, xi3, c: int, m: int, n: int, r0: int,
     bytes_acc = 4 * (2 * (c + c) * m + sum(2 * s * s for s in sizes))
     trans = c * m * (1 if b_n == 1 else 2) * 2
 
-    row = pl.BlockSpec((1, a_n, b_n * c_n),
-                       lambda i: ((i + r0) % c2, 0, 0),
-                       memory_space=pltpu.VMEM)
-    # Mosaic requires the block's last two dims divisible by (8, 128) or
-    # equal to the array's: a (1, a_n, 128) block is the smallest legal
-    # window containing the one element [0, 0, 0] we read (≤64 KB vs the
-    # row's MBs — negligible extra traffic).
-    nxt = pl.BlockSpec((1, a_n, 128), lambda i: ((i + r0 + 1) % c2, 0, 0),
-                       memory_space=pltpu.VMEM)
+    # Affine index maps when no wraparound can occur (r0 == 0 and the
+    # +1-row neighbour stays in range): a modular index function is a
+    # prefetch hazard for the pipeliner — the r0 == 0 form lets the
+    # caller A/B "one XLA roll pass + affine maps" against the in-place
+    # modular maps (benchmarks/extract_profile.py).
+    if r0 == 0:
+        row = pl.BlockSpec((1, a_n, b_n * c_n), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+        # The bulk stream is affine; only the tiny one-element
+        # neighbour window may wrap (last station).
+        nxt = pl.BlockSpec((1, a_n, 128),
+                           lambda i: ((i + 1) % c2, 0, 0),
+                           memory_space=pltpu.VMEM)
+    else:
+        row = pl.BlockSpec((1, a_n, b_n * c_n),
+                           lambda i: ((i + r0) % c2, 0, 0),
+                           memory_space=pltpu.VMEM)
+        # Mosaic requires the block's last two dims divisible by (8,
+        # 128) or equal to the array's: a (1, a_n, 128) block is the
+        # smallest legal window containing the one element [0, 0, 0] we
+        # read (≤64 KB vs the row's MBs — negligible extra traffic).
+        nxt = pl.BlockSpec((1, a_n, 128),
+                           lambda i: ((i + r0 + 1) % c2, 0, 0),
+                           memory_space=pltpu.VMEM)
     const_specs = [
         pl.BlockSpec(cst.shape, functools.partial(
             lambda nd, *_: (0,) * nd, cst.ndim), memory_space=pltpu.VMEM)
@@ -183,6 +198,15 @@ def extract_rows_pallas(spectrum: jnp.ndarray, a0: int, c: int, m: int,
         r0 = 0
     else:
         r0 = a0 // m
+        import os
+        if r0 and os.environ.get("RADIOCORE_TPU_EXTRACT_PREROLL") == "1":
+            # A/B knob: one XLA row-granular roll pass (~0.33 ms at the
+            # 64×2^18 shape) buys AFFINE kernel index maps — modular
+            # index functions are a pipeliner-prefetch hazard suspect
+            # (docs/ROOFLINE.md extraction gap).
+            xr = jnp.concatenate([xr[r0 * m:], xr[:r0 * m]])
+            xi = jnp.concatenate([xi[r0 * m:], xi[:r0 * m]])
+            r0 = 0
     a_n, b_n, c_n = _digits(m)
     xr3 = xr.reshape(n // m, a_n, b_n * c_n)
     xi3 = xi.reshape(n // m, a_n, b_n * c_n)
