@@ -254,8 +254,12 @@ def _fft_kernel(*refs, sizes, sign, m, group):
             oi_ref[j, :, q * a_n:(q + 1) * a_n] = vi
 
 
-@functools.partial(jax.jit, static_argnames=("sign", "group"))
-def _fft_call(xr: jnp.ndarray, xi: jnp.ndarray, sign: float, group: int):
+@functools.partial(jax.jit, static_argnames=("sign", "group", "mm_mode"))
+def _fft_call(xr: jnp.ndarray, xi: jnp.ndarray, sign: float, group: int,
+              mm_mode: str = "highest"):
+    del mm_mode  # jit-cache key only: _cmm reads the env at trace time,
+    # and without the mode in the key an env flip mid-process would
+    # silently reuse a stale compiled kernel.
     """xr/xi: (batch, A, B·C) f32 → (batch, C, B·A) planar DFT rows
     whose row-major flat order is the natural DFT order.
 
@@ -337,7 +341,7 @@ def fft_pow2_pallas_planar(xr: jnp.ndarray, xi: jnp.ndarray,
         zeros = jnp.zeros((pad,) + xr3.shape[1:], jnp.float32)
         xr3 = jnp.concatenate([xr3, zeros])
         xi3 = jnp.concatenate([xi3, zeros])
-    yr, yi = _fft_call(xr3, xi3, float(sign), group)
+    yr, yi = _fft_call(xr3, xi3, float(sign), group, mm_mode=_mm_mode())
     if pad:
         yr, yi = yr[:batch], yi[:batch]
     return (yr.reshape(lead + (length,)), yi.reshape(lead + (length,)))
@@ -498,8 +502,13 @@ def _four_step_pallas(x: jnp.ndarray, a: int, b: int,
 
 
 def _cmm_nd(dr, di, xr, xi):
-    """XLA-level complex contraction of x's axis -2 (leading dims OK)."""
-    hi = _MM_PRECISION
+    """XLA-level complex contraction of x's axis -2 (leading dims OK).
+
+    Runs OUTSIDE Mosaic, so ``lax.Precision.HIGH`` (3-pass bf16) is
+    legal here and matches the in-kernel 3pass default's accuracy class.
+    """
+    hi = (jax.lax.Precision.HIGH if _mm_mode() == "3pass"
+          else _MM_PRECISION)
 
     def mm(m, x):
         nbatch = x.ndim - 2

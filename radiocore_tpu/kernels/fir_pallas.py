@@ -109,7 +109,10 @@ def _fir_kernel(x_ref, halo_ref, m_ref, o_ref, *, block_rows, n_halo,
 
 
 @functools.lru_cache(maxsize=8)
-def _batched_call(block_rows: int):
+def _batched_call(block_rows: int, mode: str = "highest"):
+    # ``mode`` is an lru/jit cache key only (the kernel body reads the
+    # env at trace time; without it an env flip mid-process would
+    # silently reuse a stale compiled kernel).
     """pallas_call wrapper with a custom vmap rule.
 
     An outer ``vmap`` (e.g. a vmapped WBFM step) collapses into the
@@ -119,7 +122,8 @@ def _batched_call(block_rows: int):
 
     @jax.custom_batching.custom_vmap
     def call(x_body, x_halo, mats):
-        return _fir_blocks(x_body, x_halo, mats, block_rows)
+        return _fir_blocks(x_body, x_halo, mats, block_rows,
+                           mode=mode)
 
     @call.def_vmap
     def _rule(axis_size, in_batched, x_body, x_halo, mats):  # noqa: ANN001
@@ -142,9 +146,10 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows",))
+@functools.partial(jax.jit, static_argnames=("block_rows", "mode"))
 def _fir_blocks(x_body: jnp.ndarray, x_halo: jnp.ndarray,
-                mats: jnp.ndarray, block_rows: int) -> jnp.ndarray:
+                mats: jnp.ndarray, block_rows: int,
+                mode: str = "highest") -> jnp.ndarray:
     """x_body: (batch, n_blocks·block_rows, 128); x_halo: (batch,
     n_blocks, halo_pad, 128) — block i's halo = the halo_pad rows just
     before block i (history rows for i = 0)."""
@@ -227,5 +232,5 @@ def fir_causal_pallas(x: jnp.ndarray, taps,
     else:
         x_halo = hist
 
-    y = _batched_call(block_rows)(x_body, x_halo, mats)
+    y = _batched_call(block_rows, _fir_mode())(x_body, x_halo, mats)
     return y.reshape(batch, -1)[:, :n].reshape(lead + (n,))
